@@ -42,6 +42,8 @@ class VOSequence:
     gt_poses:       optional (N, 4, 4) float32 analytic world_T_camera ground
                     truth — synthetic sequences only; real data derives GT from
                     marker_poses like the reference does.
+    landmarks:      optional (L, 3) float32 world positions of the synthetic
+                    scene landmarks (for exact data-association checks in tests).
     """
 
     frames: np.ndarray
@@ -53,6 +55,7 @@ class VOSequence:
     camera: Camera
     real_marker_length: float
     gt_poses: np.ndarray | None = None
+    landmarks: np.ndarray | None = None
 
     def __len__(self) -> int:
         return int(self.frames.shape[0])
@@ -94,6 +97,8 @@ def save(path: str, seq: VOSequence) -> None:
     )
     if seq.gt_poses is not None:
         payload["gt_poses"] = seq.gt_poses
+    if seq.landmarks is not None:
+        payload["landmarks"] = seq.landmarks
     np.savez_compressed(path, **payload)
 
 
@@ -112,6 +117,7 @@ def load(path: str) -> VOSequence:
         camera=cam,
         real_marker_length=float(z["real_marker_length"]),
         gt_poses=z["gt_poses"].astype(np.float32) if "gt_poses" in z else None,
+        landmarks=z["landmarks"].astype(np.float32) if "landmarks" in z else None,
     )
     seq.validate()
     return seq

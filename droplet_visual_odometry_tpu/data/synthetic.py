@@ -131,6 +131,10 @@ def render_sequence(cfg: SyntheticConfig | None = None) -> VOSequence:
     )
     lm_intensity = rng.uniform(40, 250, cfg.n_landmarks)
     lm_size = rng.uniform(0.5, 1.5, cfg.n_landmarks) * cfg.landmark_size
+    # Inner sub-square per landmark: breaks the 4-fold corner symmetry so
+    # rotation-steered descriptors can tell a square's corners apart.
+    lm_inner_intensity = rng.uniform(20, 250, cfg.n_landmarks)
+    lm_inner_offset = rng.uniform(-0.4, 0.4, size=(cfg.n_landmarks, 2))
 
     wTm = np.eye(4)  # marker frame == world frame (marker on the z=0 wall)
     m_corners_w = marker_world_corners(cfg.marker_length)
@@ -178,6 +182,18 @@ def render_sequence(cfg: SyntheticConfig | None = None) -> VOSequence:
                 ]
             )
             _fill_convex_quad(img, quad, lm_intensity[j])
+            ic = c + lm_inner_offset[j] * half_px
+            ih = half_px * 0.4
+            if ih >= 1.0:
+                iq = np.array(
+                    [
+                        [ic[0] - ih, ic[1] - ih],
+                        [ic[0] + ih, ic[1] - ih],
+                        [ic[0] + ih, ic[1] + ih],
+                        [ic[0] - ih, ic[1] + ih],
+                    ]
+                )
+                _fill_convex_quad(img, iq, lm_inner_intensity[j])
 
         # Fiducial: dark border quad then bright inner quad (STag-like contrast).
         ouv, oz = project(cTw, m_outer_w)
@@ -206,6 +222,7 @@ def render_sequence(cfg: SyntheticConfig | None = None) -> VOSequence:
         camera=cam,
         real_marker_length=cfg.marker_length,
         gt_poses=poses.astype(np.float32),
+        landmarks=lm_pos.astype(np.float32),
     )
     seq.validate()
     return seq

@@ -1,0 +1,121 @@
+"""FAST-9/16 corner detection as fixed-shape, whole-image XLA tensor ops.
+
+TPU-native replacement for the FAST stage inside cv.ORB_create().detectAndCompute
+(reference: visual_odometry_v3.py:96, 370-379). Instead of OpenCV's per-pixel
+early-exit C++ scalar code, every pixel is tested simultaneously: the 16
+Bresenham-circle neighbours become 16 shifted copies of the image (VPU-friendly
+elementwise masks), the contiguous-arc test is a short unrolled scan over a
+doubled boolean ring, NMS is a 3x3 max-pool, and the per-frame keypoint budget
+is a single top-k — all fixed shapes, all fusable by XLA, vmappable over frames.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 — (dy, dx) in OpenCV's clockwise order starting
+# at 12 o'clock. The exact order is irrelevant to the arc test as long as it is
+# circularly contiguous.
+CIRCLE_OFFSETS: tuple[tuple[int, int], ...] = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+BORDER = 3  # circle radius: pixels closer than this to an edge are never corners
+
+
+def _shifted_stack(img: jax.Array) -> jax.Array:
+    """(H, W) -> (16, H, W): neighbour value at each circle offset.
+
+    jnp.roll wraps around; wrapped pixels only affect the 3-pixel border which
+    is masked out of the corner response anyway.
+    """
+    return jnp.stack(
+        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in CIRCLE_OFFSETS], axis=0
+    )
+
+
+def _max_circular_run(mask: jax.Array) -> jax.Array:
+    """(16, H, W) bool -> (H, W) int: longest circular run of True.
+
+    Doubled-ring trick: a circular run of length L<=16 appears as a linear run
+    in the 32-long doubled sequence. Unrolled running-count scan (31 adds).
+    """
+    doubled = jnp.concatenate([mask, mask], axis=0)
+    run = doubled[0].astype(jnp.int32)
+    best = run
+    for i in range(1, 32):
+        run = jnp.where(doubled[i], run + 1, 0)
+        # Cap influence: a run that exists only because of doubling can't exceed 16.
+        best = jnp.maximum(best, jnp.minimum(run, 16))
+    return best
+
+
+def fast_score(img: jax.Array, threshold: float = 20.0, arc_length: int = 9) -> jax.Array:
+    """FAST-N corner response for every pixel of (H, W) float image.
+
+    Returns (H, W) float32 score: 0 for non-corners; for corners, the sum of
+    |neighbour - center| - threshold over the dominant polarity's circle pixels
+    (a standard FAST score variant used for NMS ranking).
+    """
+    img = img.astype(jnp.float32)
+    ring = _shifted_stack(img)
+    center = img[None]
+    brighter = ring > center + threshold
+    darker = ring < center - threshold
+
+    run_b = _max_circular_run(brighter)
+    run_d = _max_circular_run(darker)
+    is_corner = (run_b >= arc_length) | (run_d >= arc_length)
+
+    excess = jnp.abs(ring - center) - threshold
+    score_b = jnp.sum(jnp.where(brighter, excess, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(darker, excess, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+
+    h, w = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_bounds = (
+        (yy >= BORDER) & (yy < h - BORDER) & (xx >= BORDER) & (xx < w - BORDER)
+    )
+    return jnp.where(is_corner & in_bounds, score, 0.0)
+
+
+def nms3x3(score: jax.Array) -> jax.Array:
+    """Keep only local maxima in a 3x3 neighbourhood (ties keep both)."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= m, score, 0.0)
+
+
+class Keypoints(NamedTuple):
+    """Fixed-K keypoint set for one frame (invalid slots masked)."""
+
+    xy: jax.Array  # (K, 2) float32 pixel coords (x, y)
+    score: jax.Array  # (K,) float32 corner response
+    valid: jax.Array  # (K,) bool
+
+
+def select_topk(score_map: jax.Array, k: int) -> Keypoints:
+    """Top-k corners from an NMS'd score map — the fixed-shape analog of
+    OpenCV's retainBest (ORB keeps the 500 strongest, v3:96)."""
+    h, w = score_map.shape
+    flat = score_map.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    return Keypoints(
+        xy=jnp.stack([xs, ys], axis=-1),
+        score=vals,
+        valid=vals > 0.0,
+    )
+
+
+def detect(img: jax.Array, k: int = 512, threshold: float = 20.0, arc_length: int = 9) -> Keypoints:
+    """FAST detect + NMS + top-k on one (H, W) frame. Jittable; vmap for batches."""
+    return select_topk(nms3x3(fast_score(img, threshold, arc_length)), k)

@@ -1,0 +1,161 @@
+"""Tests for FAST detection, ORB description, and Hamming matching."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from droplet_visual_odometry_tpu.data import synthetic
+from droplet_visual_odometry_tpu.frontend import fast, features, filters, matcher, orb
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.render_sequence(
+        synthetic.SyntheticConfig(n_frames=4, width=320, height=240, n_landmarks=350, noise_std=1.0)
+    )
+
+
+class TestFilters:
+    def test_gaussian_blur_preserves_mean(self):
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (64, 96)), jnp.float32)
+        out = filters.gaussian_blur(img, sigma=2.0)
+        assert abs(float(out.mean()) - float(img.mean())) < 1.0
+        assert float(out.std()) < float(img.std())
+
+    def test_blur_matches_cv2(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 255, (64, 96)).astype(np.float32)
+        ours = np.asarray(filters.gaussian_blur(jnp.asarray(img), sigma=2.0, radius=6))
+        ref = cv2.GaussianBlur(img, (13, 13), 2.0, borderType=cv2.BORDER_REPLICATE)
+        np.testing.assert_allclose(ours[3:-3, 3:-3], ref[3:-3, 3:-3], atol=0.5)
+
+    def test_pyramid_shapes(self):
+        img = jnp.zeros((64, 96))
+        pyr = filters.build_pyramid(img, 3)
+        assert [p.shape for p in pyr] == [(64, 96), (32, 48), (16, 24)]
+
+
+class TestFast:
+    def test_detects_square_corners(self):
+        img = np.full((64, 64), 50.0, np.float32)
+        img[20:40, 20:40] = 200.0
+        kps = fast.detect(jnp.asarray(img), k=32, threshold=20.0)
+        got = set()
+        for (x, y), v in zip(np.asarray(kps.xy), np.asarray(kps.valid)):
+            if v:
+                got.add((int(round(x)), int(round(y))))
+        # All four square corners found within 2px.
+        for cx, cy in [(20, 20), (39, 20), (20, 39), (39, 39)]:
+            assert any(abs(x - cx) <= 2 and abs(y - cy) <= 2 for x, y in got), (cx, cy, got)
+
+    def test_flat_image_no_corners(self):
+        img = jnp.full((64, 64), 100.0)
+        kps = fast.detect(img, k=16)
+        assert not bool(np.asarray(kps.valid).any())
+
+    def test_agrees_with_cv2_fast(self, seq):
+        """Corner-location parity with OpenCV FAST on a real synthetic frame."""
+        img = seq.frames[0]
+        det = cv2.FastFeatureDetector_create(threshold=20, nonmaxSuppression=True)
+        ref_kps = det.detect(img, None)
+        ref_xy = np.array([k.pt for k in ref_kps])
+        ours = fast.detect(jnp.asarray(img, jnp.float32), k=1024, threshold=20.0)
+        ours_xy = np.asarray(ours.xy)[np.asarray(ours.valid)]
+        assert len(ref_xy) > 20 and len(ours_xy) > 20
+        # Every cv2 corner should have one of ours within 2 px (recall).
+        d = np.linalg.norm(ref_xy[:, None, :] - ours_xy[None, :, :], axis=-1).min(axis=1)
+        recall = (d <= 2.0).mean()
+        assert recall > 0.9, recall
+
+    def test_max_circular_run(self):
+        m = np.zeros((16, 1, 1), bool)
+        m[[14, 15, 0, 1, 2]] = True  # circular run of 5 crossing the seam
+        out = fast._max_circular_run(jnp.asarray(m))
+        assert int(out[0, 0]) == 5
+
+
+class TestOrb:
+    def test_descriptor_shapes_and_determinism(self, seq):
+        f = features.detect_and_describe(jnp.asarray(seq.frames[0]), k=256)
+        g = features.detect_and_describe(jnp.asarray(seq.frames[0]), k=256)
+        assert f.desc.shape == (256, 8) and f.desc.dtype == jnp.uint32
+        np.testing.assert_array_equal(np.asarray(f.desc), np.asarray(g.desc))
+        assert bool(np.asarray(f.valid).sum() > 50)
+
+    def test_unpack_pm1_roundtrip(self):
+        rng = np.random.default_rng(0)
+        desc = rng.integers(0, 2**32, size=(4, 8), dtype=np.uint32)
+        pm1 = np.asarray(orb.unpack_bits_pm1(jnp.asarray(desc), dtype=jnp.float32))
+        assert set(np.unique(pm1)) <= {-1.0, 1.0}
+        bits = (pm1 > 0).astype(np.uint32).reshape(4, 8, 32)
+        repacked = (bits << np.arange(32, dtype=np.uint32)[None, None, :]).sum(-1, dtype=np.uint64).astype(np.uint32)
+        np.testing.assert_array_equal(repacked, desc)
+
+    def test_orientation_of_gradient_patch(self):
+        """A patch bright on the +x side must give angle ~0; +y side ~pi/2."""
+        base = np.zeros((orb.PATCH, orb.PATCH), np.float32)
+        xgrad = base + np.linspace(0, 100, orb.PATCH)[None, :]
+        ygrad = base + np.linspace(0, 100, orb.PATCH)[:, None]
+        angs = np.asarray(orb.orientation(jnp.asarray(np.stack([xgrad, ygrad]))))
+        assert abs(angs[0] - 0.0) < 0.05
+        assert abs(angs[1] - np.pi / 2) < 0.05
+
+
+class TestMatcher:
+    def test_hamming_matrix_matches_popcount(self):
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 2**32, size=(64, 8), dtype=np.uint32)
+        b = rng.integers(0, 2**32, size=(96, 8), dtype=np.uint32)
+        ours = np.asarray(matcher.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+        ref = np.zeros((64, 96))
+        for i in range(64):
+            for j in range(96):
+                ref[i, j] = bin(int.from_bytes(a[i].tobytes(), "little") ^ int.from_bytes(b[j].tobytes(), "little")).count("1")
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_crosscheck_is_mutual(self):
+        d = jnp.asarray(
+            [[1.0, 50, 50], [50, 2.0, 50], [50, 3.0, 50]]
+        )  # rows 1,2 both want col 1 -> only one survives
+        m = matcher.match_crosscheck(d)
+        v = np.asarray(m.valid)
+        assert v[0] and v[1] and not v[2]
+
+    def test_ratio_test(self):
+        d = jnp.asarray([[10.0, 100, 100], [10.0, 11.0, 100]])
+        m = matcher.match_ratio(d, ratio=0.75)
+        v = np.asarray(m.valid)
+        assert v[0] and not v[1]
+
+    def test_end_to_end_matching_tracks_landmarks(self, seq):
+        """Exact data-association check: a match is correct when both endpoints
+        lie on the projection of the SAME world landmark (the two-frame golden
+        check the reference does by hand, calculations.py:10-24 style — but
+        with an analytic oracle instead of hand-recorded values)."""
+        fa = features.detect_and_describe(jnp.asarray(seq.frames[0]), k=512)
+        fb = features.detect_and_describe(jnp.asarray(seq.frames[1]), k=512)
+        m = matcher.match(fa.desc, fb.desc, fa.valid, fb.valid, mode="crosscheck")
+        pa, pb, mask = matcher.gather_correspondences(fa.xy, fb.xy, m)
+        pa, pb = np.asarray(pa)[np.asarray(mask)], np.asarray(pb)[np.asarray(mask)]
+        assert len(pa) > 60, f"too few matches: {len(pa)}"
+
+        K = np.asarray(seq.camera.K, np.float64)
+
+        def project_all(i):
+            cTw = np.linalg.inv(seq.gt_poses[i].astype(np.float64))
+            pc = seq.landmarks @ cTw[:3, :3].T + cTw[:3, 3]
+            return pc[:, :2] / pc[:, 2:3] * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+        uv0, uv1 = project_all(0), project_all(1)
+        # Nearest landmark to each endpoint (corners sit ~half-size from centre,
+        # so allow a generous radius but require SAME landmark on both sides).
+        d0 = np.linalg.norm(pa[:, None, :] - uv0[None], axis=-1)
+        d1 = np.linalg.norm(pb[:, None, :] - uv1[None], axis=-1)
+        lm0, lm1 = d0.argmin(1), d1.argmin(1)
+        near = (d0.min(1) < 12) & (d1.min(1) < 12)
+        assert near.mean() > 0.6  # most matches are on landmarks at all
+        correct = (lm0 == lm1)[near].mean()
+        assert correct > 0.8, f"landmark association accuracy {correct:.2f}"
