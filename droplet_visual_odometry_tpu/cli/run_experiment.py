@@ -1,0 +1,117 @@
+"""Experiment driver CLI — the reference's trajectory_evaluation_dual_process
+entry point (dual_process:293-338), with a real flag system instead of
+positional argv + hard-coded absolute paths (SURVEY.md §5 config).
+
+Usage:
+  python -m droplet_visual_odometry_tpu.cli.run_experiment \
+      --sequence path/to/seq.npz --out-dir results/exp1
+  python -m droplet_visual_odometry_tpu.cli.run_experiment \
+      --synthetic --n-frames 60 --out-dir results/synth
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--sequence", help="path to a VOSequence .npz")
+    src.add_argument("--synthetic", action="store_true", help="render a synthetic sequence")
+    p.add_argument("--out-dir", default=None, help="directory for the six TUM streams")
+    p.add_argument("--match-mode", default="crosscheck", choices=["crosscheck", "ratio"],
+                   help="matching mode (reference 'orb' vs SIFT/KNN ratio modes)")
+    p.add_argument("--keypoints", type=int, default=512)
+    p.add_argument("--fast-threshold", type=float, default=20.0)
+    p.add_argument("--ransac-hypotheses", type=int, default=1024)
+    p.add_argument("--ransac-threshold-px", type=float, default=1.0)
+    p.add_argument("--scale-side", default="mean", choices=["mean", "reference"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--plot", default=None, help="write a 3-D GT-vs-VO plot PNG here")
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    # synthetic options
+    p.add_argument("--n-frames", type=int, default=60)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--landmarks", type=int, default=350)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from droplet_visual_odometry_tpu import pipeline
+    from droplet_visual_odometry_tpu.data import sequence as seq_mod
+    from droplet_visual_odometry_tpu.data import synthetic
+    from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
+    from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+
+    if args.synthetic:
+        seq = synthetic.render_sequence(
+            synthetic.SyntheticConfig(
+                n_frames=args.n_frames,
+                width=args.width,
+                height=args.height,
+                n_landmarks=args.landmarks,
+            )
+        )
+    else:
+        seq = seq_mod.load(args.sequence)
+
+    cfg = VOConfig(
+        n_keypoints=args.keypoints,
+        fast_threshold=args.fast_threshold,
+        match_mode=args.match_mode,
+        ransac=RansacConfig(
+            n_hypotheses=args.ransac_hypotheses,
+            threshold_px=args.ransac_threshold_px,
+        ),
+        scale_side=args.scale_side,
+    )
+
+    t0 = time.time()
+    res = pipeline.run_experiment(seq, cfg, out_dir=args.out_dir, seed=args.seed)
+    wall = time.time() - t0
+
+    summary = {
+        "n_frames": len(seq),
+        "ate_rmse_m": res.ate.rmse,
+        "ate_max_m": res.ate.max,
+        "rpe_trans_rmse_m": res.rpe.trans_rmse,
+        "rpe_rot_rmse_deg": res.rpe.rot_rmse_deg,
+        "median_matches": int(np.median(res.trajectory.n_matches)),
+        "median_inliers": int(np.median(res.trajectory.n_inliers)),
+        "ok_fraction": float(np.mean(res.trajectory.ok)),
+        "wall_seconds": wall,
+        "frames_per_second": len(seq) / wall,
+        "config": dataclasses.asdict(cfg),
+        "streams": res.stream_paths,
+    }
+    print(json.dumps(summary, indent=2))
+
+    if args.plot:
+        from droplet_visual_odometry_tpu.eval.plots import plot_trajectory_3d
+
+        plot_trajectory_3d(
+            args.plot,
+            {
+                "ground_truth": np.linalg.inv(res.gt_abs)[:, :3, 3],
+                "vo_estimate": np.linalg.inv(res.vo_abs)[:, :3, 3],
+            },
+            title="camera trajectory (marker frame)",
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -278,8 +278,8 @@ def velocity_between_timestamps(
     rotation rate so downstream TUM velocity streams match.
     """
     dt = jnp.maximum(curr_t - prev_t, 1e-9)
-    dT = (translation(curr_T) - translation(prev_T)) / dt
-    dR = (rotation(curr_T) - rotation(prev_T)) / dt
+    dT = (translation(curr_T) - translation(prev_T)) / dt[..., None]
+    dR = (rotation(curr_T) - rotation(prev_T)) / dt[..., None, None]
     return make_se3(dR, dT)
 
 

@@ -1,0 +1,159 @@
+"""Batched essential-matrix RANSAC: thousands of hypotheses as one tensor program.
+
+Replaces cv.findEssentialMat(method=cv.RANSAC, prob=0.999, threshold=1.0)
+(reference: visual_odometry_v3.py:297-300). OpenCV iterates hypotheses
+sequentially with early exit; on TPU the winning design is breadth-first —
+sample B 8-point minimal sets at once, solve B essential matrices with one
+batched eigh, score all B x N Sampson errors with one einsum, argmax the
+inlier count, then polish with one weighted 8-point fit on the winner's
+inliers. Deterministic given the PRNG key, fixed shapes throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from droplet_visual_odometry_tpu.estimation import epipolar
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    n_hypotheses: int = 1024
+    sample_size: int = 8
+    # Inlier threshold in PIXELS (converted to normalized coords via focal
+    # length like OpenCV's findEssentialMat does internally).
+    threshold_px: float = 1.0
+    refine_iters: int = 2
+    # Locally-optimised inner round (LO-RANSAC): hypotheses resampled from the
+    # winning inlier set. Shakes off chance-consistent outliers that a pure
+    # least-squares polish locks in. 0 disables.
+    lo_hypotheses: int = 256
+    # Larger-than-minimal LO samples average out noise (Chum's LO-RANSAC).
+    lo_sample_size: int = 14
+
+
+class RansacResult(NamedTuple):
+    E: jax.Array  # (3, 3) best essential matrix
+    inliers: jax.Array  # (N,) bool
+    n_inliers: jax.Array  # () int32
+    best_score: jax.Array  # () float32 (final MSAC cost — lower is better)
+
+
+def _sample_indices(
+    key: jax.Array, n_hyp: int, sample_size: int, n_pts: int, valid: jax.Array
+) -> jax.Array:
+    """(B, sample_size) indices drawn from valid points (with replacement
+    across hypotheses, near-without-replacement within one via shifted picks)."""
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(p.sum(), 1e-9)
+    flat = jax.random.choice(
+        key, n_pts, shape=(n_hyp * sample_size,), replace=True, p=p
+    )
+    return flat.reshape(n_hyp, sample_size)
+
+
+def ransac_essential(
+    key: jax.Array,
+    pts1_px: jax.Array,
+    pts2_px: jax.Array,
+    valid: jax.Array,
+    K: jax.Array,
+    cfg: RansacConfig = RansacConfig(),
+) -> RansacResult:
+    """Robust E estimation from fixed-shape matched pixel coords.
+
+    pts1_px/pts2_px: (N, 2) matched points (prev, curr). valid: (N,) mask.
+    """
+    x1 = epipolar.to_normalized(pts1_px, K)
+    x2 = epipolar.to_normalized(pts2_px, K)
+    n = x1.shape[0]
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    thr2 = (cfg.threshold_px / f) ** 2
+
+    idx = _sample_indices(key, cfg.n_hypotheses, cfg.sample_size, n, valid)
+    s1 = x1[idx]  # (B, 8, 3)
+    s2 = x2[idx]
+    w = jnp.ones(idx.shape, jnp.float32)
+    # Hypotheses are scored UNPROJECTED (Sampson ranks raw null-space solutions
+    # equally well); the essential-manifold projection runs once, on the winner.
+    Es = epipolar.essential_8point(s1, s2, w, enforce_rank2=False)  # (B, 3, 3)
+
+    def msac_cost(err):
+        """Truncated (MSAC) cost — lower is better. Counting inliers alone
+        cannot distinguish a sloppy hypothesis that grazes the threshold from
+        a tight one, which matters for the polish acceptance below.
+        NaN-proof: degenerate hypotheses (rank-deficient samples) charge the
+        full truncation everywhere and can never win."""
+        e = jnp.where(jnp.isfinite(err), err, thr2)
+        return jnp.sum(jnp.where(valid, jnp.minimum(e, thr2), 0.0), axis=-1)
+
+    err = epipolar.sampson_error(Es, x1, x2)  # (B, N)
+    costs = msac_cost(err)
+    best = jnp.argmin(costs)
+    E = Es[best]
+    inliers = (err[best] < thr2) & valid
+    cost = costs[best]
+
+    if cfg.lo_hypotheses > 0:
+        # LO-RANSAC inner rounds: larger-than-minimal samples drawn from the
+        # current inlier set only; the second round resamples from the
+        # (possibly improved) set.
+        for lo_round in (1, 2):
+            key_lo = jax.random.fold_in(key, lo_round)
+            idx_lo = _sample_indices(
+                key_lo, cfg.lo_hypotheses, cfg.lo_sample_size, n, inliers
+            )
+            Es_lo = epipolar.essential_8point(
+                x1[idx_lo], x2[idx_lo], jnp.ones(idx_lo.shape, jnp.float32),
+                enforce_rank2=False,
+            )
+            err_lo = epipolar.sampson_error(Es_lo, x1, x2)
+            costs_lo = msac_cost(err_lo)
+            best_lo = jnp.argmin(costs_lo)
+            better = costs_lo[best_lo] < cost
+            E = jnp.where(better, Es_lo[best_lo], E)
+            inliers = jnp.where(better, (err_lo[best_lo] < thr2) & valid, inliers)
+            cost = jnp.where(better, costs_lo[best_lo], cost)
+
+    # Polish: weighted 8-point on the current inlier set, MSAC-accepted.
+    def polish(_, carry):
+        E, inliers, cost = carry
+        wts = inliers.astype(jnp.float32)
+        E2 = epipolar.essential_8point(x1, x2, wts, enforce_rank2=False)
+        err2 = epipolar.sampson_error(E2, x1, x2)
+        cost2 = msac_cost(err2)
+        better = cost2 <= cost
+        E = jnp.where(better, E2, E)
+        inliers = jnp.where(better, (err2 < thr2) & valid, inliers)
+        cost = jnp.where(better, cost2, cost)
+        return E, inliers, cost
+
+    E, inliers, cost = jax.lax.fori_loop(0, cfg.refine_iters, polish, (E, inliers, cost))
+    E = epipolar.project_to_essential(E)
+    return RansacResult(
+        E=E,
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers).astype(jnp.int32),
+        best_score=cost.astype(jnp.float32),
+    )
+
+
+def ransac_pose(
+    key: jax.Array,
+    pts1_px: jax.Array,
+    pts2_px: jax.Array,
+    valid: jax.Array,
+    K: jax.Array,
+    cfg: RansacConfig = RansacConfig(),
+) -> tuple[jax.Array, jax.Array, RansacResult]:
+    """findEssentialMat + recoverPose in one call: returns (R, t_unit, result)
+    with p_curr = R @ p_prev + t (curr_T_prev, |t| = 1)."""
+    res = ransac_essential(key, pts1_px, pts2_px, valid, K, cfg)
+    x1 = epipolar.to_normalized(pts1_px, K)
+    x2 = epipolar.to_normalized(pts2_px, K)
+    R, t, front = epipolar.recover_pose(res.E, x1, x2, res.inliers.astype(jnp.float32))
+    return R, t, res._replace(inliers=res.inliers & front)

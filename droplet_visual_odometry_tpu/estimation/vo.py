@@ -1,0 +1,183 @@
+"""The visual-odometry core: two-frame relative pose + sequence chaining.
+
+TPU-native equivalent of the reference's VisualOdometry.visual_odometry_calculations
+(visual_odometry_v3.py:384-408) and the driver loop
+(trajectory_evaluation_dual_process.py:170-254), with two structural upgrades:
+
+  * Features are computed ONCE per frame and carried through the `lax.scan`
+    (the reference re-detects every frame twice since pairs overlap,
+    v3:387-392 — a 2x frontend cost we do not replicate).
+  * The whole sequence loop is one compiled program: per-pair matching,
+    batched RANSAC, pose recovery, marker-scale and pose chaining run on
+    device with fixed shapes; no per-frame host round-trips.
+
+Pose conventions (see data/synthetic.py):
+  rel = curr_T_prev (cv.recoverPose convention), abs_curr = rel @ abs_prev.
+  With abs_0 seeded from the first GT marker pose cTm_0 (the reference's
+  initialisation, dual_process:102-117), abs_i estimates cTm_i.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from droplet_visual_odometry_tpu.core import se3
+from droplet_visual_odometry_tpu.estimation import scale as scale_mod
+from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig, ransac_pose
+from droplet_visual_odometry_tpu.frontend import matcher
+from droplet_visual_odometry_tpu.frontend.features import detect_and_describe
+from droplet_visual_odometry_tpu.frontend.orb import Features
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    n_keypoints: int = 512
+    fast_threshold: float = 20.0
+    fast_arc_length: int = 9
+    match_mode: str = "crosscheck"  # 'crosscheck' (ref 'orb') | 'ratio' (ref SIFT modes)
+    ratio: float = 0.75
+    ransac: RansacConfig = RansacConfig()
+    min_matches: int = 12
+    scale_side: str = "mean"  # 'mean' | 'reference' (single-side parity)
+
+
+class VOStepResult(NamedTuple):
+    rel: jax.Array  # (4, 4) scaled curr_T_prev (identity when degenerate)
+    n_matches: jax.Array  # () int32
+    n_inliers: jax.Array  # () int32
+    scale: jax.Array  # () float32
+    ok: jax.Array  # () bool — enough matches/inliers to trust the step
+
+
+def two_frame_vo(
+    key: jax.Array,
+    feats_prev: Features,
+    feats_curr: Features,
+    prev_marker_corners: jax.Array,
+    curr_marker_corners: jax.Array,
+    marker_valid: jax.Array,
+    K: jax.Array,
+    real_marker_length: float,
+    cfg: VOConfig,
+) -> VOStepResult:
+    """One frame pair -> scaled relative pose. Fully jittable, fixed shapes.
+
+    Mirrors get_matches_between_two_frames + previous_current_matching +
+    get_transformation_between_two_frames (v3:191-239, 293-368) in one fused
+    program. Degenerate pairs (too few matches/inliers — which crash the
+    reference, SURVEY.md §7) yield rel=identity with ok=False.
+    """
+    m = matcher.match(
+        feats_prev.desc,
+        feats_curr.desc,
+        feats_prev.valid,
+        feats_curr.valid,
+        mode=cfg.match_mode,
+        ratio=cfg.ratio,
+    )
+    p_prev, p_curr, valid = matcher.gather_correspondences(feats_prev.xy, feats_curr.xy, m)
+    n_matches = jnp.sum(valid).astype(jnp.int32)
+
+    R, t_unit, res = ransac_pose(key, p_prev, p_curr, valid, K, cfg.ransac)
+
+    s = scale_mod.scale_factor(
+        K,
+        R,
+        t_unit,
+        prev_marker_corners,
+        curr_marker_corners,
+        real_marker_length,
+        marker_valid,
+        side=cfg.scale_side,
+    )
+    rel = se3.make_se3(R, t_unit * s)
+
+    ok = (n_matches >= cfg.min_matches) & (res.n_inliers >= cfg.ransac.sample_size)
+    rel = jnp.where(ok, rel, jnp.eye(4, dtype=rel.dtype))
+    return VOStepResult(
+        rel=rel,
+        n_matches=n_matches,
+        n_inliers=res.n_inliers,
+        scale=s,
+        ok=ok,
+    )
+
+
+class VOTrajectory(NamedTuple):
+    """Sequence result: absolute + relative pose streams and diagnostics."""
+
+    abs_poses: jax.Array  # (N, 4, 4) — abs_0 = init_pose
+    rel_poses: jax.Array  # (N-1, 4, 4)
+    n_matches: jax.Array  # (N-1,)
+    n_inliers: jax.Array  # (N-1,)
+    scales: jax.Array  # (N-1,)
+    ok: jax.Array  # (N-1,)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_sequence(
+    key: jax.Array,
+    frames: jax.Array,  # (N, H, W) uint8/float grayscale, already undistorted
+    marker_corners: jax.Array,  # (N, 4, 2) float32 (NaN/garbage where absent)
+    marker_present: jax.Array,  # (N,) bool
+    init_pose: jax.Array,  # (4, 4) — e.g. first GT marker pose (cTm_0)
+    K: jax.Array,
+    real_marker_length: float,
+    cfg: VOConfig = VOConfig(),
+) -> VOTrajectory:
+    """Frame-sequential VO over a whole sequence as one lax.scan program."""
+    n = frames.shape[0]
+
+    def extract(img):
+        return detect_and_describe(
+            img,
+            k=cfg.n_keypoints,
+            threshold=cfg.fast_threshold,
+            arc_length=cfg.fast_arc_length,
+        )
+
+    feats0 = extract(frames[0])
+    corners0 = jnp.nan_to_num(marker_corners[0])
+    keys = jax.random.split(key, n - 1)
+
+    def step(carry, inp):
+        feats_prev, prev_corners, prev_mvalid, abs_prev = carry
+        frame, corners, mvalid, k = inp
+        feats_curr = extract(frame)
+        corners = jnp.nan_to_num(corners)
+        res = two_frame_vo(
+            k,
+            feats_prev,
+            feats_curr,
+            prev_corners,
+            corners,
+            prev_mvalid & mvalid,
+            K,
+            real_marker_length,
+            cfg,
+        )
+        abs_curr = res.rel @ abs_prev
+        out = (abs_curr, res.rel, res.n_matches, res.n_inliers, res.scale, res.ok)
+        return (feats_curr, corners, mvalid, abs_curr), out
+
+    init_pose = init_pose.astype(jnp.float32)
+    (_, _, _, _), outs = jax.lax.scan(
+        step,
+        (feats0, corners0, marker_present[0], init_pose),
+        (frames[1:], marker_corners[1:], marker_present[1:], keys),
+    )
+    abs_rest, rels, n_matches, n_inliers, scales, ok = outs
+    abs_poses = jnp.concatenate([init_pose[None], abs_rest], axis=0)
+    return VOTrajectory(
+        abs_poses=abs_poses,
+        rel_poses=rels,
+        n_matches=n_matches,
+        n_inliers=n_inliers,
+        scales=scales,
+        ok=ok,
+    )

@@ -1,0 +1,95 @@
+"""Tests for TUM I/O and trajectory metrics."""
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+import jax.numpy as jnp
+
+from droplet_visual_odometry_tpu.core import se3
+from droplet_visual_odometry_tpu.eval import metrics, tum
+
+
+def random_traj(n=20, seed=0):
+    rng = np.random.default_rng(seed)
+    R = Rotation.random(n, random_state=seed).as_matrix()
+    t = np.cumsum(rng.normal(scale=0.1, size=(n, 3)), axis=0)
+    return np.asarray(se3.make_se3(jnp.asarray(R), jnp.asarray(t)))
+
+
+class TestTum:
+    def test_roundtrip(self, tmp_path):
+        poses = random_traj(16)
+        ts = np.arange(16) * 0.05
+        p = str(tmp_path / "traj.txt")
+        tum.write_tum(p, ts, poses)
+        ts2, poses2 = tum.read_tum(p)
+        np.testing.assert_allclose(ts2, ts, atol=1e-12)
+        np.testing.assert_allclose(poses2, poses, atol=1e-5)
+
+    def test_line_format_parity(self, tmp_path):
+        """Line = 't tx ty tz qx qy qz qw' (pose_estimation_module.py:80-86)."""
+        T = np.eye(4)
+        T[:3, 3] = [1, 2, 3]
+        p = str(tmp_path / "t.txt")
+        tum.write_tum(p, [7.25], T[None])
+        parts = open(p).read().split()
+        assert len(parts) == 8
+        assert float(parts[0]) == 7.25
+        assert [float(x) for x in parts[1:4]] == [1, 2, 3]
+        np.testing.assert_allclose([float(x) for x in parts[4:8]], [0, 0, 0, 1], atol=1e-7)
+
+    def test_six_streams(self, tmp_path):
+        n = 10
+        ts = np.arange(n) * 0.1
+        gt = random_traj(n, 1)
+        vo = random_traj(n, 2)
+        gt_rel = np.asarray(se3.gt_relative(jnp.asarray(gt[:-1]), jnp.asarray(gt[1:])))
+        vo_rel = np.asarray(se3.gt_relative(jnp.asarray(vo[:-1]), jnp.asarray(vo[1:])))
+        paths = tum.write_experiment_streams(str(tmp_path), ts, gt, gt_rel, vo, vo_rel)
+        assert set(paths) == set(tum.STREAM_NAMES)
+        for name, p in paths.items():
+            data = np.loadtxt(p, ndmin=2)
+            expect = n if "absolute" in name else n - 1
+            assert data.shape == (expect, 8), name
+
+
+class TestMetrics:
+    def test_ate_zero_for_identical(self):
+        tr = random_traj(30)
+        res = metrics.ate(tr, tr)
+        assert res.rmse == 0.0
+
+    def test_ate_known_offset(self):
+        tr = random_traj(30)
+        tr2 = tr.copy()
+        tr2[:, 0, 3] += 0.5
+        res = metrics.ate(tr, tr2)
+        np.testing.assert_allclose(res.rmse, 0.5, atol=1e-6)
+
+    def test_ate_se3_alignment_removes_rigid_offset(self):
+        tr = random_traj(30)
+        R = Rotation.from_rotvec([0.2, -0.1, 0.3]).as_matrix()
+        T = np.asarray(se3.make_se3(jnp.asarray(R), jnp.asarray([1.0, -2, 0.5])))
+        tr2 = np.einsum("ij,njk->nik", T, tr)
+        assert metrics.ate(tr, tr2).rmse > 0.5
+        assert metrics.ate(tr, tr2, align="se3").rmse < 1e-5
+
+    def test_ate_sim3_alignment_removes_scale(self):
+        tr = random_traj(30)
+        tr2 = tr.copy()
+        tr2[:, :3, 3] *= 1.7
+        assert metrics.ate(tr, tr2, align="sim3").rmse < 1e-5
+
+    def test_rpe_zero_and_sensitivity(self):
+        tr = random_traj(30)
+        res = metrics.rpe(tr, tr)
+        assert res.trans_rmse < 1e-6 and res.rot_rmse_deg < 1e-3
+        tr2 = tr.copy()
+        tr2[5, :3, 3] += 0.1  # one bad pose -> two bad relative steps
+        res2 = metrics.rpe(tr, tr2)
+        assert res2.trans_rmse > 0.01
+
+    def test_per_axis_stats_shapes(self):
+        st = metrics.per_axis_stats(random_traj(30))
+        for k in ("translation_std", "translation_mean", "euler_std", "euler_mean"):
+            assert st[k].shape == (3,)

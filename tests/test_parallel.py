@@ -1,0 +1,66 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded results must
+equal single-device results exactly (SURVEY.md §7 stage 8 requirement)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from droplet_visual_odometry_tpu.data import synthetic
+from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+from droplet_visual_odometry_tpu.parallel import sharding
+
+
+def test_mesh_has_8_devices():
+    mesh = sharding.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_pair_vo_matches_single_device():
+    seq = synthetic.render_sequence(
+        synthetic.SyntheticConfig(n_frames=9, width=320, height=240, n_landmarks=350)
+    )
+    frames = jnp.asarray(seq.frames, jnp.float32)
+    corners = jnp.nan_to_num(jnp.asarray(seq.marker_corners))
+    mvalid = jnp.asarray(seq.marker_present)
+    K = jnp.asarray(seq.camera.K)
+    cfg = VOConfig()
+    key = jax.random.PRNGKey(0)
+
+    args = (
+        frames[:-1],
+        frames[1:],
+        corners[:-1],
+        corners[1:],
+        mvalid[:-1] & mvalid[1:],
+        K,
+    )
+
+    single = np.asarray(sharding.pair_vo_batched(key, *args, seq.real_marker_length, cfg))
+
+    mesh = sharding.make_mesh(8)
+    multi_dev = sharding.shard_pair_vo(mesh, key, *args, seq.real_marker_length, cfg)
+    multi = np.asarray(multi_dev)
+
+    # XLA compiles the sharded program differently (fusion order), so f32
+    # rounding can flip near-tied RANSAC winners; assert ACCURACY parity
+    # against the analytic GT instead of bitwise equality.
+    def errors(rels):
+        rots, trans = [], []
+        for i, rel in enumerate(rels):
+            gt = seq.marker_poses[i + 1].astype(np.float64) @ np.linalg.inv(
+                seq.marker_poses[i].astype(np.float64)
+            )
+            dR = rel[:3, :3].T @ gt[:3, :3]
+            rots.append(np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+            trans.append(np.linalg.norm(rel[:3, 3] - gt[:3, 3]))
+        return np.asarray(rots), np.asarray(trans)
+
+    rot_s, t_s = errors(single)
+    rot_m, t_m = errors(multi)
+    assert rot_m.max() < 5.0 and rot_s.max() < 5.0
+    assert abs(rot_m.mean() - rot_s.mean()) < 1.0, (rot_s, rot_m)
+    assert abs(t_m.mean() - t_s.mean()) < 0.05
+
+    # Output really is sharded over the mesh.
+    assert len(multi_dev.sharding.device_set) == 8
