@@ -295,51 +295,88 @@ def _hat(w: jax.Array) -> jax.Array:
     return m.reshape(m.shape[:-1] + (3, 3))
 
 
+def _sinc(x: jax.Array) -> jax.Array:
+    """sin(x)/x with a Taylor-guarded double-where (value- and JVP-safe)."""
+    small = jnp.abs(x) < 1e-3
+    x_safe = jnp.where(small, 1.0, x)
+    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(x_safe) / x_safe)
+
+
+def _exp_coeff_A(theta):
+    """sin(t)/t."""
+    return _sinc(theta)
+
+
+def _exp_coeff_B(theta):
+    """(1-cos t)/t^2 = 0.5*sinc(t/2)^2 — cancellation-free in f32.
+
+    The naive (1-cos)/t^2 form loses ~half the mantissa for moderate t, which
+    is amplified badly in forward-mode JVPs (autodiff-built Gauss-Newton
+    Jacobians came out 50% wrong in f32 before this rewrite).
+    """
+    s = _sinc(0.5 * theta)
+    return 0.5 * s * s
+
+
+def _exp_coeff_C(theta):
+    """(1 - sinc t)/t^2: Taylor series below 1 rad (cancellation-free), exact
+    trig beyond (where 1 - sinc is O(1) and safe)."""
+    t2 = theta * theta
+    series = 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0
+    theta_safe = jnp.where(theta < 1.0, 1.0, theta)
+    exact = (1.0 - jnp.sin(theta_safe) / theta_safe) / (theta_safe * theta_safe)
+    return jnp.where(theta < 1.0, series, exact)
+
+
+def _log_coeff(theta):
+    """(1 - (t/2) cot(t/2)) / t^2: series below 1 rad, half-angle exact form
+    beyond. This is the 'coef' of V^-1 in se3_log."""
+    t2 = theta * theta
+    series = 1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0
+    theta_safe = jnp.where(theta < 1.0, 2.0, theta)  # keep tan well-defined
+    half = 0.5 * theta_safe
+    exact = (1.0 - half * jnp.cos(half) / jnp.sin(half)) / (theta_safe * theta_safe)
+    return jnp.where(theta < 1.0, series, exact)
+
+
 def so3_exp(w: jax.Array) -> jax.Array:
     """Rodrigues: axis-angle (..., 3) -> rotation (..., 3, 3). Taylor-safe."""
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    small = theta2 < 1e-12
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=-1), 1e-24))
+    A = _exp_coeff_A(theta)
+    B = _exp_coeff_B(theta)
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation (..., 3, 3) -> axis-angle (..., 3). Safe near 0 and pi."""
-    tr = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(tr)
-    vee = 0.5 * jnp.stack(
-        [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0], R[..., 1, 0] - R[..., 0, 1]],
-        axis=-1,
-    )
-    sin_theta = jnp.sin(theta)
-    # Near theta == pi, sin(theta) -> 0 but vee also -> 0; use quaternion route.
-    q = rotmat_to_quat(R)
+    """Rotation (..., 3, 3) -> axis-angle (..., 3). Safe near 0 and pi, and
+    GRADIENT-safe: uniformly the quaternion route w = qv * 2*atan2(|qv|, qw)/|qv|
+    with a Taylor-guarded double-where at |qv| -> 0. (The arccos(trace) form has
+    an infinite derivative at theta = 0, which poisons autodiff-built
+    Gauss-Newton systems — see backend/pose_graph.py.)"""
+    q = rotmat_to_quat(R)  # canonical hemisphere, qw >= 0
     qv = q[..., :3]
     qw = jnp.maximum(q[..., 3], 1e-12)
-    qn = jnp.linalg.norm(qv, axis=-1)
-    angle = 2.0 * jnp.arctan2(qn, qw)
-    axis = qv / jnp.maximum(qn, 1e-12)[..., None]
-    log_quat = axis * angle[..., None]
-    small = theta < 1e-4
-    factor = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_theta, 1e-12))
-    log_std = vee * factor[..., None]
-    use_std = (theta < 3.0)[..., None]
-    return jnp.where(use_std, log_std, log_quat)
+    qn2 = jnp.sum(qv * qv, axis=-1)
+    small = qn2 < 1e-10
+    qn_safe = jnp.sqrt(jnp.where(small, 1.0, qn2))
+    # factor = 2*atan2(qn, qw)/qn, Taylor 2/qw * (1 - qn^2/(3 qw^2)) near 0.
+    factor = jnp.where(
+        small,
+        2.0 / qw * (1.0 - qn2 / (3.0 * qw * qw)),
+        2.0 * jnp.arctan2(qn_safe, qw) / qn_safe,
+    )
+    return qv * factor[..., None]
 
 
 def se3_exp(xi: jax.Array) -> jax.Array:
     """Twist (..., 6) [v, w] -> 4x4. v = translational, w = rotational part."""
     v, w = xi[..., :3], xi[..., 3:]
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    small = theta2 < 1e-12
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / jnp.maximum(theta2, 1e-24))
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=-1), 1e-24))
+    A = _exp_coeff_A(theta)
+    B = _exp_coeff_B(theta)
+    C = _exp_coeff_C(theta)
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     R = I + A[..., None, None] * W + B[..., None, None] * (W @ W)
@@ -348,23 +385,18 @@ def se3_exp(xi: jax.Array) -> jax.Array:
 
 
 def se3_log(T: jax.Array) -> jax.Array:
-    """4x4 -> twist (..., 6) [v, w]; inverse of se3_exp."""
+    """4x4 -> twist (..., 6) [v, w]; inverse of se3_exp.
+
+    V^-1 = I - W/2 + coef(theta) W^2 with the cancellation-free _log_coeff,
+    so values AND f32 forward-mode JVPs are accurate (GN backends autodiff
+    through this)."""
     R = rotation(T)
     t = translation(T)
     w = so3_log(R)
-    theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    small = theta2 < 1e-12
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(w * w, axis=-1), 1e-24))
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    # V^-1 = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
-    coef = jnp.where(
-        small,
-        1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - A / (2.0 * jnp.maximum(B, 1e-12))) / jnp.maximum(theta2, 1e-24),
-    )
+    coef = _log_coeff(theta)
     Vinv = I - 0.5 * W + coef[..., None, None] * (W @ W)
     v = (Vinv @ t[..., None])[..., 0]
     return jnp.concatenate([v, w], axis=-1)

@@ -73,9 +73,13 @@ def run_experiment(
     cfg: VOConfig = VOConfig(),
     out_dir: str | None = None,
     seed: int = 0,
+    backend: str = "none",  # 'none' (frame-to-frame) | 'ba' (windowed BA smoothing)
+    refine_cfg=None,
 ) -> ExperimentResult:
     """Full experiment on one sequence. Writes the six TUM streams when
-    out_dir is given (file names per dual_process:296-309)."""
+    out_dir is given (file names per dual_process:296-309). backend='ba'
+    additionally refines the trajectory with keyframe windowed bundle
+    adjustment (BASELINE config #3)."""
     frames = preprocess_frames(seq)
     K = jnp.asarray(effective_K(seq), jnp.float32)
 
@@ -97,7 +101,26 @@ def run_experiment(
 
     gt_abs, gt_rel = gt_streams(seq)
     vo_abs = np.asarray(traj.abs_poses, np.float64)
-    vo_rel = np.asarray(traj.rel_poses, np.float64)
+
+    if backend == "ba":
+        from droplet_visual_odometry_tpu.backend.refine import RefineConfig, refine_trajectory
+
+        vo_abs, _ = refine_trajectory(
+            frames,
+            vo_abs,
+            np.asarray(traj.n_inliers),
+            K,
+            refine_cfg or RefineConfig(),
+        )
+    elif backend != "none":
+        raise ValueError(f"unknown backend: {backend}")
+
+    vo_rel = np.asarray(
+        se3.gt_relative(
+            jnp.asarray(vo_abs[:-1], jnp.float32), jnp.asarray(vo_abs[1:], jnp.float32)
+        ),
+        np.float64,
+    )
 
     # Metrics are computed on the CAMERA trajectory in the marker frame
     # (mTc = inv(cTm)): for marker-facing trajectories the cTm translation is
