@@ -24,6 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--sequence", help="path to a VOSequence .npz")
     src.add_argument("--synthetic", action="store_true", help="render a synthetic sequence")
+    src.add_argument("--config", help="experiment YAML (utils.config.ExperimentConfig)")
     p.add_argument("--out-dir", default=None, help="directory for the six TUM streams")
     p.add_argument("--match-mode", default="crosscheck", choices=["crosscheck", "ratio"],
                    help="matching mode (reference 'orb' vs SIFT/KNN ratio modes)")
@@ -33,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ransac-threshold-px", type=float, default=1.0)
     p.add_argument("--scale-side", default="mean", choices=["mean", "reference"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="none", choices=["none", "ba"],
+                   help="trajectory refinement: windowed keyframe BA")
+    p.add_argument("--checkpoint", default=None,
+                   help="npz path for chunked checkpoint/resume of long runs")
+    p.add_argument("--checkpoint-chunk", type=int, default=256)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run into this dir")
     p.add_argument("--plot", default=None, help="write a 3-D GT-vs-VO plot PNG here")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     # synthetic options
@@ -56,7 +64,19 @@ def main(argv=None) -> int:
     from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
     from droplet_visual_odometry_tpu.estimation.vo import VOConfig
 
-    if args.synthetic:
+    if args.config:
+        from droplet_visual_odometry_tpu.utils import config as config_mod
+
+        exp = config_mod.load(args.config)
+        if not exp.sequence:
+            raise SystemExit("--config requires a 'sequence' path in the YAML")
+        seq = seq_mod.load(exp.sequence)
+        args.out_dir = args.out_dir or (exp.out_dir or None)
+        args.seed = exp.seed
+        args.backend = exp.backend
+        args.checkpoint = args.checkpoint or (exp.checkpoint_path or None)
+        cfg = exp.vo
+    elif args.synthetic:
         seq = synthetic.render_sequence(
             synthetic.SyntheticConfig(
                 n_frames=args.n_frames,
@@ -68,19 +88,37 @@ def main(argv=None) -> int:
     else:
         seq = seq_mod.load(args.sequence)
 
-    cfg = VOConfig(
-        n_keypoints=args.keypoints,
-        fast_threshold=args.fast_threshold,
-        match_mode=args.match_mode,
-        ransac=RansacConfig(
-            n_hypotheses=args.ransac_hypotheses,
-            threshold_px=args.ransac_threshold_px,
-        ),
-        scale_side=args.scale_side,
-    )
+    if not args.config:
+        cfg = VOConfig(
+            n_keypoints=args.keypoints,
+            fast_threshold=args.fast_threshold,
+            match_mode=args.match_mode,
+            ransac=RansacConfig(
+                n_hypotheses=args.ransac_hypotheses,
+                threshold_px=args.ransac_threshold_px,
+            ),
+            scale_side=args.scale_side,
+        )
+
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        from droplet_visual_odometry_tpu.utils import profiling
+
+        profile_ctx = profiling.trace(args.profile_dir)
 
     t0 = time.time()
-    res = pipeline.run_experiment(seq, cfg, out_dir=args.out_dir, seed=args.seed)
+    with profile_ctx:
+        res = pipeline.run_experiment(
+            seq,
+            cfg,
+            out_dir=args.out_dir,
+            seed=args.seed,
+            backend=args.backend,
+            checkpoint_path=args.checkpoint,
+            checkpoint_chunk=args.checkpoint_chunk,
+        )
     wall = time.time() - t0
 
     summary = {

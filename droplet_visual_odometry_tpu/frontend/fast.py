@@ -117,5 +117,19 @@ def select_topk(score_map: jax.Array, k: int) -> Keypoints:
 
 
 def detect(img: jax.Array, k: int = 512, threshold: float = 20.0, arc_length: int = 9) -> Keypoints:
-    """FAST detect + NMS + top-k on one (H, W) frame. Jittable; vmap for batches."""
-    return select_topk(nms3x3(fast_score(img, threshold, arc_length)), k)
+    """FAST detect + NMS + top-k on one (H, W) frame. Jittable; vmap for batches.
+
+    The corner-response stage dispatches to the fused Pallas kernel on TPU
+    (ops/pallas_fast.py) and to the XLA implementation elsewhere.
+    """
+    from droplet_visual_odometry_tpu import ops
+
+    if ops.pallas_enabled():
+        from droplet_visual_odometry_tpu.ops.pallas_fast import fast_score_pallas
+
+        score = fast_score_pallas(
+            img, threshold, arc_length, interpret=ops.interpret_mode()
+        )
+    else:
+        score = fast_score(img, threshold, arc_length)
+    return select_topk(nms3x3(score), k)

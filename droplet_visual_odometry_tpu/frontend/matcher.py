@@ -85,7 +85,32 @@ def match(
     max_distance: float = 256.0,
 ) -> Matches:
     """One-call matcher. mode: 'crosscheck' (reference 'orb') or 'ratio'
-    (reference 'sift'/'knn_sift' Lowe test)."""
+    (reference 'sift'/'knn_sift' Lowe test).
+
+    On TPU (and equal keypoint budgets) the distance matrix + reductions run
+    as one fused Pallas kernel (ops/pallas_match.py); elsewhere via XLA.
+    """
+    from droplet_visual_odometry_tpu import ops
+
+    if ops.pallas_match_enabled() and desc_a.shape[0] == desc_b.shape[0]:
+        from droplet_visual_odometry_tpu.ops.pallas_match import match_reductions
+
+        ka = desc_a.shape[0]
+        ones = jnp.ones((ka,), jnp.float32)
+        va = ones if valid_a is None else valid_a
+        vb = ones if valid_b is None else valid_b
+        d1, i1, d2, col_best = match_reductions(
+            desc_a, desc_b, va, vb, interpret=ops.interpret_mode()
+        )
+        if mode == "crosscheck":
+            rows = jnp.arange(ka, dtype=i1.dtype)
+            ok = (col_best[i1] == rows) & (d1 <= max_distance) & (d1 < BIG)
+            return Matches(idx=i1, distance=d1, valid=ok)
+        if mode == "ratio":
+            ok = (d1 < ratio * d2) & (d1 <= max_distance) & (d1 < BIG)
+            return Matches(idx=i1, distance=d1, valid=ok)
+        raise ValueError(f"unknown match mode: {mode}")
+
     dist = hamming_matrix(desc_a, desc_b, valid_a, valid_b)
     if mode == "crosscheck":
         return match_crosscheck(dist, max_distance)

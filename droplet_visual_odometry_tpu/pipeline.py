@@ -75,6 +75,8 @@ def run_experiment(
     seed: int = 0,
     backend: str = "none",  # 'none' (frame-to-frame) | 'ba' (windowed BA smoothing)
     refine_cfg=None,
+    checkpoint_path: str | None = None,
+    checkpoint_chunk: int = 256,
 ) -> ExperimentResult:
     """Full experiment on one sequence. Writes the six TUM streams when
     out_dir is given (file names per dual_process:296-309). backend='ba'
@@ -87,17 +89,33 @@ def run_experiment(
     first = int(np.argmax(seq.marker_present)) if seq.marker_present.any() else 0
     init_pose = jnp.asarray(seq.marker_poses[first])
 
-    traj = run_sequence(
-        jax.random.PRNGKey(seed),
-        frames,
-        jnp.asarray(seq.marker_corners),
-        jnp.asarray(seq.marker_present),
-        init_pose,
-        K,
-        seq.real_marker_length,
-        cfg,
-    )
-    traj = jax.device_get(traj)
+    if checkpoint_path:
+        from droplet_visual_odometry_tpu.utils.checkpoint import run_sequence_checkpointed
+
+        traj = run_sequence_checkpointed(
+            jax.random.PRNGKey(seed),
+            np.asarray(frames),
+            np.asarray(seq.marker_corners),
+            np.asarray(seq.marker_present),
+            np.asarray(init_pose),
+            np.asarray(K),
+            seq.real_marker_length,
+            cfg,
+            path=checkpoint_path,
+            chunk=checkpoint_chunk,
+        )
+    else:
+        traj = run_sequence(
+            jax.random.PRNGKey(seed),
+            frames,
+            jnp.asarray(seq.marker_corners),
+            jnp.asarray(seq.marker_present),
+            init_pose,
+            K,
+            seq.real_marker_length,
+            cfg,
+        )
+        traj = jax.device_get(traj)
 
     gt_abs, gt_rel = gt_streams(seq)
     vo_abs = np.asarray(traj.abs_poses, np.float64)

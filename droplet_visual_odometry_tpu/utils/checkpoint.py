@@ -1,0 +1,132 @@
+"""Checkpoint/resume for long-sequence VO runs.
+
+The reference has no compute checkpointing: a crash mid-bag loses the whole
+run and the append-mode txt logs are truncated on restart
+(pose_estimation_module.py:80-91; SURVEY.md §5). Here the sequence is driven
+in fixed-size chunks of one compiled `lax.scan` each, with the carry state
+(next frame index, last absolute pose, accumulated trajectory streams, PRNG
+key) persisted to an .npz after every chunk via atomic write-and-rename, so a
+25k-frame run (v3:20) resumes from the last completed chunk.
+
+Chunking note: chunk boundaries re-derive the per-pair PRNG keys by folding
+the chunk start index into the run key, so results are reproducible for a
+given chunk size (and RANSAC is vote-based, so trajectories are insensitive
+to the key stream in practice).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from droplet_visual_odometry_tpu.estimation.vo import VOConfig, VOTrajectory, run_sequence
+
+_FIELDS = ("abs_poses", "rel_poses", "n_matches", "n_inliers", "scales", "ok")
+
+
+def save_state(path: str, state: dict[str, np.ndarray]) -> None:
+    """Atomic npz write: tmp file in the same directory, then os.replace."""
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **state)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_state(path: str) -> dict[str, np.ndarray] | None:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def run_sequence_checkpointed(
+    key: jax.Array,
+    frames: np.ndarray,
+    marker_corners: np.ndarray,
+    marker_present: np.ndarray,
+    init_pose: np.ndarray,
+    K: np.ndarray,
+    real_marker_length: float,
+    cfg: VOConfig = VOConfig(),
+    *,
+    path: str,
+    chunk: int = 256,
+) -> VOTrajectory:
+    """Drop-in for estimation.vo.run_sequence that survives interruption.
+
+    Each chunk covers pairs [start, start+chunk) with a 1-frame overlap so the
+    pair straddling the boundary is computed exactly once. If `path` exists,
+    the run resumes after the last completed chunk.
+    """
+    n = int(frames.shape[0])
+    if n < 2:
+        raise ValueError("need at least 2 frames")
+    key = jax.device_get(key)
+
+    state = load_state(path)
+    if state is not None and int(state["n_total"]) == n and int(state["chunk"]) == chunk:
+        start = int(state["next_start"])
+        acc = {f: [state[f]] for f in _FIELDS}
+        abs_last = state["abs_last"]
+    else:
+        start = 1  # next pair's current-frame index
+        acc = {f: [] for f in _FIELDS}
+        abs_last = np.asarray(init_pose, np.float32)
+
+    while start < n:
+        stop = min(start + chunk, n)
+        # Frames start-1 .. stop-1 inclusive -> pairs start..stop-1.
+        ck = jax.random.fold_in(jnp.asarray(key), start)
+        traj = run_sequence(
+            ck,
+            jnp.asarray(frames[start - 1 : stop], jnp.float32),
+            jnp.asarray(marker_corners[start - 1 : stop]),
+            jnp.asarray(marker_present[start - 1 : stop]),
+            jnp.asarray(abs_last),
+            jnp.asarray(K, jnp.float32),
+            real_marker_length,
+            cfg,
+        )
+        traj = jax.device_get(traj)
+        # abs_poses[0] repeats the carry-in pose; keep only the new frames.
+        acc["abs_poses"].append(np.asarray(traj.abs_poses[1:]))
+        acc["rel_poses"].append(np.asarray(traj.rel_poses))
+        acc["n_matches"].append(np.asarray(traj.n_matches))
+        acc["n_inliers"].append(np.asarray(traj.n_inliers))
+        acc["scales"].append(np.asarray(traj.scales))
+        acc["ok"].append(np.asarray(traj.ok))
+        abs_last = np.asarray(traj.abs_poses[-1])
+        start = stop
+        save_state(
+            path,
+            {
+                "n_total": np.asarray(n),
+                "chunk": np.asarray(chunk),
+                "next_start": np.asarray(start),
+                "abs_last": abs_last,
+                "key": np.asarray(key),
+                **{f: np.concatenate(acc[f], axis=0) for f in _FIELDS},
+            },
+        )
+
+    out = {f: np.concatenate(acc[f], axis=0) for f in _FIELDS}
+    abs_poses = np.concatenate([np.asarray(init_pose, np.float32)[None], out["abs_poses"]], axis=0)
+    return VOTrajectory(
+        abs_poses=abs_poses,
+        rel_poses=out["rel_poses"],
+        n_matches=out["n_matches"],
+        n_inliers=out["n_inliers"],
+        scales=out["scales"],
+        ok=out["ok"],
+    )

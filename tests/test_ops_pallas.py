@@ -1,0 +1,112 @@
+"""Pallas kernels vs their XLA twins — bit-level equivalence on the CPU
+interpreter (the real-TPU path compiles the same kernel code)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from droplet_visual_odometry_tpu import ops
+from droplet_visual_odometry_tpu.frontend import fast, matcher
+from droplet_visual_odometry_tpu.ops.pallas_fast import fast_score_pallas
+from droplet_visual_odometry_tpu.ops.pallas_match import match_reductions
+
+
+def _image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    # Smooth-ish image with injected corners so FAST fires.
+    img = rng.uniform(0, 60, size=(h, w)).astype(np.float32)
+    for y, x in rng.integers(10, [h - 10, w - 10], size=(25, 2)):
+        img[y : y + 4, x : x + 4] += 150.0
+    return img
+
+
+@pytest.mark.parametrize("shape", [(96, 128), (100, 130), (240, 320)])
+def test_fast_score_pallas_matches_xla(shape):
+    img = jnp.asarray(_image(*shape))
+    ref = np.asarray(fast.fast_score(img, 20.0, 9))
+    out = np.asarray(fast_score_pallas(img, 20.0, 9, tile_h=32, interpret=True))
+    assert out.shape == ref.shape
+    # Same corner set...
+    np.testing.assert_array_equal(out > 0, ref > 0)
+    # ...and same response up to summation-order float error.
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+
+
+def test_fast_score_pallas_arc_and_threshold_params():
+    img = jnp.asarray(_image(64, 128, seed=3))
+    for thr, arc in [(10.0, 12), (35.0, 9)]:
+        ref = np.asarray(fast.fast_score(img, thr, arc))
+        out = np.asarray(fast_score_pallas(img, thr, arc, tile_h=32, interpret=True))
+        np.testing.assert_array_equal(out > 0, ref > 0)
+
+
+def _descriptors(k, seed=0):
+    rng = np.random.default_rng(seed)
+    desc = rng.integers(0, 2**32, size=(k, 8), dtype=np.uint32)
+    valid = rng.uniform(size=k) > 0.2
+    return jnp.asarray(desc), jnp.asarray(valid)
+
+
+def test_match_reductions_vs_xla():
+    da, va = _descriptors(128, 0)
+    db, vb = _descriptors(128, 1)
+    dist = matcher.hamming_matrix(da, db, va, vb)
+    d1, i1, d2, col_best = match_reductions(da, db, va, vb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(jnp.argmin(dist, axis=1)))
+    # Valid rows match exactly; invalid rows just need to stay >= BIG (the XLA
+    # path sets exactly BIG, the kernel adds BIG to the true distance).
+    ok = np.asarray(d1) < matcher.BIG
+    np.testing.assert_allclose(
+        np.asarray(d1)[ok], np.asarray(jnp.min(dist, axis=1))[ok]
+    )
+    assert np.all(np.asarray(d1)[~ok] >= float(matcher.BIG))
+    np.testing.assert_array_equal(
+        np.asarray(col_best), np.asarray(jnp.argmin(dist, axis=0))
+    )
+    # Second-best: mask the best column out, then min (valid rows only).
+    cols = np.arange(128)
+    dn = np.asarray(dist).copy()
+    dn[cols, np.asarray(i1)] = np.inf
+    ok2 = dn.min(axis=1) < matcher.BIG
+    np.testing.assert_allclose(np.asarray(d2)[ok2], dn.min(axis=1)[ok2])
+
+
+@pytest.mark.parametrize("mode", ["crosscheck", "ratio"])
+def test_full_match_pallas_equals_xla(mode):
+    da, va = _descriptors(128, 2)
+    db, vb = _descriptors(128, 3)
+    ref = matcher.match(da, db, va, vb, mode=mode)
+    ops.set_pallas(True)
+    try:
+        out = matcher.match(da, db, va, vb, mode=mode)
+    finally:
+        ops.set_pallas(None)
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    sel = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(out.idx)[sel], np.asarray(ref.idx)[sel])
+    np.testing.assert_allclose(
+        np.asarray(out.distance)[sel], np.asarray(ref.distance)[sel]
+    )
+
+
+def test_detect_pallas_path_equals_xla():
+    img = jnp.asarray(_image(96, 128, seed=5))
+    ref = fast.detect(img, k=64)
+    ops.set_pallas(True)
+    try:
+        out = fast.detect(img, k=64)
+    finally:
+        ops.set_pallas(None)
+    sel = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(out.valid), sel)
+    np.testing.assert_allclose(np.asarray(out.xy)[sel], np.asarray(ref.xy)[sel])
+
+
+def test_backend_auto_detection():
+    assert jax.default_backend() == "cpu"
+    assert not ops.pallas_enabled()  # auto: off on CPU
+    ops.set_pallas(True)
+    assert ops.pallas_enabled()
+    ops.set_pallas(None)
+    assert ops.interpret_mode()

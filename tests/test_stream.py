@@ -1,0 +1,83 @@
+"""Tests for the online (streaming) VO engine — v2 live-node parity."""
+
+import numpy as np
+
+from droplet_visual_odometry_tpu.data import synthetic
+from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
+from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+from droplet_visual_odometry_tpu.groundtruth import detections_from_arrays
+from droplet_visual_odometry_tpu.stream import OnlineVO
+from droplet_visual_odometry_tpu.core import se3
+import jax.numpy as jnp
+
+CFG = VOConfig()  # the 320x240 config is too weak for stable marker scale
+
+
+def _dets_for(seq, i, ref_id=0):
+    """Wrap frame i's marker into a 1-frame MarkerDetections (M=1)."""
+    if not seq.marker_present[i]:
+        return None
+    cTm = np.asarray(seq.marker_poses[i], np.float64)
+    t, q = se3.to_translation_quaternion(jnp.asarray(cTm, jnp.float32))
+    return detections_from_arrays(
+        np.asarray([[ref_id]], np.int32),
+        np.asarray(t)[None, None],
+        np.asarray(q)[None, None],
+        np.asarray(seq.marker_corners[i])[None, None],
+    )
+
+
+def test_stream_gating_and_tracking():
+    seq = synthetic.render_sequence(
+        synthetic.SyntheticConfig(n_frames=8, width=640, height=480, n_landmarks=350)
+    )
+    # camera-frame detections: the synthetic marker pose is already cTm
+    from droplet_visual_odometry_tpu.groundtruth import GroundTruthConfig
+
+    vo = OnlineVO(
+        K=np.asarray(seq.camera.K),
+        real_marker_length=seq.real_marker_length,
+        reference_id=0,
+        cfg=CFG,
+        gt_cfg=GroundTruthConfig(use_base_link=False),
+    )
+
+    # Frame 0 pushed WITHOUT markers: engine must stay un-armed (v2 gating).
+    r0 = vo.push(seq.timestamps[0], seq.frames[0], None)
+    assert not r0.armed and not vo.armed
+
+    # Frame 0 again with its marker: arms + seeds pose from the marker.
+    r1 = vo.push(seq.timestamps[0], seq.frames[0], _dets_for(seq, 0))
+    assert r1.armed and vo.armed
+    np.testing.assert_allclose(r1.pose, seq.marker_poses[0], atol=1e-5)
+    assert r1.gt_pose is not None
+
+    # Remaining frames: chained tracking with bounded drift vs GT.
+    oks = []
+    for i in range(1, len(seq)):
+        r = vo.push(seq.timestamps[i], seq.frames[i], _dets_for(seq, i))
+        oks.append(r.ok)
+    assert np.mean(oks) > 0.6
+    # Final pose close to final GT marker pose (camera positions, marker frame).
+    est_cam = np.linalg.inv(vo.pose)[:3, 3]
+    gt_cam = np.linalg.inv(np.asarray(seq.marker_poses[-1], np.float64))[:3, 3]
+    assert np.linalg.norm(est_cam - gt_cam) < 0.25, (est_cam, gt_cam)
+
+
+def test_stream_pose_callbacks():
+    seq = synthetic.render_sequence(
+        synthetic.SyntheticConfig(n_frames=3, width=160, height=120, n_landmarks=80)
+    )
+    from droplet_visual_odometry_tpu.groundtruth import GroundTruthConfig
+
+    vo = OnlineVO(
+        K=np.asarray(seq.camera.K),
+        real_marker_length=seq.real_marker_length,
+        cfg=VOConfig(n_keypoints=64, ransac=RansacConfig(n_hypotheses=64, lo_hypotheses=16)),
+        gt_cfg=GroundTruthConfig(use_base_link=False),
+    )
+    seen = []
+    vo.on_pose.append(lambda ts, pose: seen.append((ts, pose.shape)))
+    vo.push(seq.timestamps[0], seq.frames[0], _dets_for(seq, 0))
+    vo.push(seq.timestamps[1], seq.frames[1], _dets_for(seq, 1))
+    assert len(seen) == 2 and seen[0][1] == (4, 4)
