@@ -17,6 +17,8 @@ driver; falls back to CPU transparently).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,6 +27,23 @@ import numpy as np
 
 N_FRAMES = 24
 WIDTH, HEIGHT = 1440, 1080
+
+
+def probe_device() -> bool:
+    """True if the default JAX device completes a trivial program promptly.
+
+    Run as a SUBPROCESS with a hard timeout: a wedged TPU tunnel hangs inside
+    the runtime where in-process timeouts can't reach, and the bench must
+    never stall the driver — it falls back to CPU instead.
+    """
+    code = "import jax, jax.numpy as jnp; x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))); print(float(x[0, 0]))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=120
+        )
+        return r.returncode == 0 and b"8.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def build_sequence():
@@ -111,9 +130,18 @@ def bench_ours(seq) -> float:
 
 
 def main() -> int:
+    device_ok = probe_device()
+    if not device_ok:
+        # Wedged/unreachable accelerator: bench on CPU rather than hang.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     seq = build_sequence()
     ref_fps = bench_reference_cpu(seq)
     ours_fps = bench_ours(seq)
+    import jax
+
     print(
         json.dumps(
             {
@@ -122,6 +150,8 @@ def main() -> int:
                 "unit": "frames/s",
                 "vs_baseline": round(ours_fps / ref_fps, 2),
                 "baseline_reference_cpu_fps": round(ref_fps, 2),
+                "backend": jax.default_backend(),
+                "device_probe_ok": device_ok,
             }
         )
     )

@@ -25,7 +25,18 @@ def main(argv=None) -> int:
     p.add_argument("experiment_dir")
     p.add_argument("--plot-dir", default=None)
     p.add_argument("--align", default="none", choices=["none", "se3", "sim3"])
+    p.add_argument("--platform", default="cpu",
+                   help="jax platform for the (tiny) euler/stat math; analysis "
+                        "is host-side work and should not occupy an accelerator")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception:
+            pass
 
     streams = {}
     for name in tum.STREAM_NAMES:
@@ -50,6 +61,15 @@ def main(argv=None) -> int:
         r = metrics.rpe(gt[:n], vo[:n])
         report["ate"] = {"rmse": a.rmse, "mean": a.mean, "median": a.median, "max": a.max}
         report["rpe"] = {"trans_rmse": r.trans_rmse, "rot_rmse_deg": r.rot_rmse_deg}
+        # Raw-stream GT-vs-VO deltas (PEM:113-164 parity, on the cTm streams
+        # exactly as logged).
+        diff = metrics.gt_vo_difference(streams[gt_name][1][:n], streams[vo_name][1][:n])
+        report["gt_vo_difference"] = {
+            "euclidean_mean": float(diff["euclidean"].mean()),
+            "euclidean_max": float(diff["euclidean"].max()),
+            "translation_diff_std": np.round(diff["translation_diff"].std(0), 6).tolist(),
+            "euler_diff_std": np.round(diff["euler_diff"].std(0), 6).tolist(),
+        }
         if args.plot_dir:
             from droplet_visual_odometry_tpu.eval.plots import plot_trajectory_3d
 

@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default=None, help="directory for the six TUM streams")
     p.add_argument("--match-mode", default="crosscheck", choices=["crosscheck", "ratio"],
                    help="matching mode (reference 'orb' vs SIFT/KNN ratio modes)")
+    p.add_argument("--frontend", default="orb", choices=["orb", "sift"],
+                   help="feature family: FAST+binary or DoG+float (v3:93-107)")
     p.add_argument("--keypoints", type=int, default=512)
     p.add_argument("--fast-threshold", type=float, default=20.0)
     p.add_argument("--ransac-hypotheses", type=int, default=1024)
@@ -91,6 +93,7 @@ def main(argv=None) -> int:
     if not args.config:
         cfg = VOConfig(
             n_keypoints=args.keypoints,
+            frontend=args.frontend,
             fast_threshold=args.fast_threshold,
             match_mode=args.match_mode,
             ransac=RansacConfig(

@@ -37,8 +37,10 @@ from droplet_visual_odometry_tpu.frontend.orb import Features
 @dataclasses.dataclass(frozen=True)
 class VOConfig:
     n_keypoints: int = 512
+    frontend: str = "orb"  # 'orb' (FAST+binary) | 'sift' (DoG+float) — v3:93-107 mode switch
     fast_threshold: float = 20.0
     fast_arc_length: int = 9
+    dog_threshold: float = 1.0  # 'sift' frontend blob threshold
     match_mode: str = "crosscheck"  # 'crosscheck' (ref 'orb') | 'ratio' (ref SIFT modes)
     ratio: float = 0.75
     ransac: RansacConfig = RansacConfig()
@@ -139,6 +141,8 @@ def run_sequence(
             k=cfg.n_keypoints,
             threshold=cfg.fast_threshold,
             arc_length=cfg.fast_arc_length,
+            mode=cfg.frontend,
+            dog_threshold=cfg.dog_threshold,
         )
 
     feats0 = extract(frames[0])

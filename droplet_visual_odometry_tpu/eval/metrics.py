@@ -113,3 +113,32 @@ def per_axis_stats(poses: np.ndarray, axes: str = "sxyz") -> dict[str, np.ndarra
         "euler_std": e.std(axis=0),
         "euler_mean": e.mean(axis=0),
     }
+
+
+def gt_vo_difference(gt_poses: np.ndarray, vo_poses: np.ndarray) -> dict[str, np.ndarray]:
+    """Per-frame GT-vs-VO deltas — pose_estimation_module parity.
+
+    Returns:
+      translation_diff: (N, 3) gt_t - vo_t     (PEM get_gt_vo_difference, :113-147)
+      euler_diff:       (N, 3) gt_euler - vo_euler (sxyz)
+      euclidean:        (N,)   ||gt_t - vo_t||  (compute_gt_vo_translation_difference,
+                               PEM:156-164; back_up_files/calculations.py:4-6)
+    """
+    gt_poses = np.asarray(gt_poses, np.float64)
+    vo_poses = np.asarray(vo_poses, np.float64)
+    assert gt_poses.shape == vo_poses.shape and gt_poses.shape[1:] == (4, 4)
+    t_diff = gt_poses[:, :3, 3] - vo_poses[:, :3, 3]
+    gt_euler = np.asarray(
+        jnp.stack([se3.rotmat_to_euler(jnp.asarray(T[:3, :3], jnp.float32)) for T in gt_poses])
+    )
+    vo_euler = np.asarray(
+        jnp.stack([se3.rotmat_to_euler(jnp.asarray(T[:3, :3], jnp.float32)) for T in vo_poses])
+    )
+    e_diff = gt_euler - vo_euler
+    # Wrap angle deltas into (-pi, pi].
+    e_diff = (e_diff + np.pi) % (2.0 * np.pi) - np.pi
+    return {
+        "translation_diff": t_diff,
+        "euler_diff": e_diff,
+        "euclidean": np.linalg.norm(t_diff, axis=1),
+    }

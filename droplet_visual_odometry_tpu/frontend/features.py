@@ -17,18 +17,30 @@ from droplet_visual_odometry_tpu.frontend import fast, filters
 from droplet_visual_odometry_tpu.frontend.orb import Features, HALF, describe
 
 
-@functools.partial(jax.jit, static_argnames=("k", "threshold", "arc_length"))
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "arc_length", "mode", "dog_threshold"))
 def detect_and_describe(
     img: jax.Array,
     k: int = 512,
     threshold: float = 20.0,
     arc_length: int = 9,
+    mode: str = "orb",
+    dog_threshold: float = 1.0,
 ) -> Features:
     """(H, W) uint8/float frame -> fixed-K Features.
 
-    Keypoints closer than the descriptor-patch half-width to the border are
-    invalidated (their clamped patches would alias the border).
+    mode selects the frontend family (the reference's mode switch,
+    v3:93-107): 'orb' — FAST + 256-bit binary descriptors (Hamming matching);
+    'sift' — DoG blobs + 128-d float gradient histograms (L2 matching,
+    frontend/sift.py). Keypoints closer than the descriptor-patch half-width
+    to the border are invalidated (their clamped patches would alias the
+    border).
     """
+    if mode == "sift":
+        from droplet_visual_odometry_tpu.frontend import sift
+
+        return sift.detect_and_describe(img, k=k, threshold=dog_threshold)
+    if mode != "orb":
+        raise ValueError(f"unknown frontend mode: {mode}")
     img = img.astype(jnp.float32)
     kps = fast.detect(img, k=k, threshold=threshold, arc_length=arc_length)
     blur = filters.gaussian_blur(img, sigma=2.0, radius=4)

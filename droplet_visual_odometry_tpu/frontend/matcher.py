@@ -43,6 +43,28 @@ def hamming_matrix(
     return ham
 
 
+def l2_matrix(
+    desc_a: jax.Array, desc_b: jax.Array, valid_a: jax.Array | None = None, valid_b: jax.Array | None = None
+) -> jax.Array:
+    """(Ka, D) x (Kb, D) FLOAT descriptors -> (Ka, Kb) squared-L2 distances.
+
+    |a-b|^2 = |a|^2 + |b|^2 - 2 a.b: one MXU matmul + rank-1 corrections —
+    the float-mode twin of hamming_matrix for SIFT-style descriptors
+    (the reference's SIFT/KNN modes, v3:100-104, 223-230).
+    """
+    dot = jax.lax.dot_general(
+        desc_a, desc_b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    na = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=1)
+    nb = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=1)
+    d2 = jnp.maximum(na[:, None] + nb[None, :] - 2.0 * dot, 0.0)
+    if valid_a is not None:
+        d2 = jnp.where(valid_a[:, None], d2, BIG)
+    if valid_b is not None:
+        d2 = jnp.where(valid_b[None, :], d2, BIG)
+    return d2
+
+
 class Matches(NamedTuple):
     """Fixed-shape match set: for each query keypoint (in frame A), the matched
     train index (frame B), the Hamming distance, and validity."""
@@ -91,6 +113,16 @@ def match(
     as one fused Pallas kernel (ops/pallas_match.py); elsewhere via XLA.
     """
     from droplet_visual_odometry_tpu import ops
+
+    if jnp.issubdtype(desc_a.dtype, jnp.floating):
+        # Float (SIFT-mode) descriptors: squared-L2 distance matrix. Ratio
+        # thresholds are specified on true distances, so square them here.
+        dist = l2_matrix(desc_a, desc_b, valid_a, valid_b)
+        if mode == "crosscheck":
+            return match_crosscheck(dist, max_distance=BIG / 2)
+        if mode == "ratio":
+            return match_ratio(dist, ratio=ratio * ratio, max_distance=BIG / 2)
+        raise ValueError(f"unknown match mode: {mode}")
 
     if ops.pallas_match_enabled() and desc_a.shape[0] == desc_b.shape[0]:
         from droplet_visual_odometry_tpu.ops.pallas_match import match_reductions

@@ -10,9 +10,14 @@ K=512 budget (cv.ORB_create default, v3:96) the distance matrix is 1 MB — far
 under the ~16 MB VMEM budget, so a single-program kernel is the bandwidth
 optimum; larger K would tile over columns.
 
-The rhs is fed pre-transposed ((256, Kb), standard MXU contraction) and the
-+-1 expansion is f32: 512 256-deep dot products are ~67 MFLOP, noise on the
-MXU, and f32 keeps Mosaic's operand constraints trivially satisfied.
+Kernel-hygiene choices (all reductions are plain `min`, the simplest VPU op):
+  * no argmin — the winning index rides along inside the minimised value:
+    Hamming distances are integers in [0, 256] (invalid entries get 512), so
+    `enc = dist * 4096 + index` is exactly representable in f32
+    (max 512*4096+4095 < 2^24) and min(enc) simultaneously yields the best
+    distance (enc // 4096) and its index (enc mod 4096);
+  * the rhs is fed pre-transposed ((256, Kb), standard MXU contraction) and
+    the +-1 expansion is f32 — 512x512x256 is ~67 MFLOP, noise on the MXU.
 
 Output layout: (8, K) float32 —
   row 0: best column distance per row      (query -> train nearest)
@@ -33,9 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from droplet_visual_odometry_tpu.frontend.orb import N_BITS, unpack_bits_pm1
 
-BIG = 1e9  # invalid-entry distance offset (python float: jnp constants would
-#            be captured tracers in the kernel)
-BIG2 = 3e9  # masks the best column out when finding the second-best
+BIG = 1e9  # invalid-entry distance reported to callers (matcher.BIG parity)
+_INVALID = 512.0  # in-kernel invalid distance; keeps enc inside f32 integers
+_ENC = 4096.0  # index stride in the (dist, index) packing; requires K <= 4096
+MAX_K = 4096
 
 
 def _kernel(a_ref, bt_ref, va_ref, vb_ref, out_ref):
@@ -43,21 +49,30 @@ def _kernel(a_ref, bt_ref, va_ref, vb_ref, out_ref):
     dist = 0.5 * (N_BITS - dot)
     va = va_ref[0, :]  # (Ka,) 1.0 valid / 0.0 invalid
     vb = vb_ref[0, :]
-    dist = dist + (1.0 - va)[:, None] * BIG + (1.0 - vb)[None, :] * BIG
+    invalid = (1.0 - va)[:, None] + (1.0 - vb)[None, :]
+    dist = jnp.where(invalid > 0.0, _INVALID, dist)
 
-    d1 = jnp.min(dist, axis=1)
-    i1 = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    masked = jnp.where(cols == i1[:, None], BIG2, dist)
-    d2 = jnp.min(masked, axis=1)
-    col_best = jnp.argmin(dist, axis=0).astype(jnp.int32)
+    ka, kb = dist.shape
+    cols = jax.lax.broadcasted_iota(jnp.float32, (ka, kb), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (ka, kb), 0)
+
+    enc_row = dist * _ENC + cols  # min over axis 1 -> best (dist, col) per row
+    best_row = jnp.min(enc_row, axis=1)
+    d1 = jnp.floor(best_row / _ENC)
+    i1 = best_row - d1 * _ENC
+
+    # Second best: lift the winning column out of contention, min again.
+    enc_row2 = jnp.where(cols == i1[:, None], _INVALID * 2.0 * _ENC, enc_row)
+    best_row2 = jnp.min(enc_row2, axis=1)
+    d2 = jnp.floor(best_row2 / _ENC)
+
+    enc_col = dist * _ENC + rows  # min over axis 0 -> best row per column
+    best_col = jnp.min(enc_col, axis=0)
+    dc = jnp.floor(best_col / _ENC)
+    col_best = best_col - dc * _ENC
 
     zeros = jnp.zeros_like(d1)
-    out_ref[:] = jnp.stack(
-        [d1, i1.astype(jnp.float32), d2, col_best.astype(jnp.float32)]
-        + [zeros] * 4,
-        axis=0,
-    )
+    out_ref[:] = jnp.stack([d1, i1, d2, col_best] + [zeros] * 4, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,12 +86,15 @@ def match_reductions(
     """(Ka, 8) x (Kb, 8) packed descriptors -> (d1, i1, d2, col_best).
 
     Requires Ka == Kb (the fixed per-frame budget makes this always true in
-    the pipeline). Invalid descriptors get distance >= BIG.
+    the pipeline). Invalid descriptors report distance >= BIG, matching the
+    XLA matcher's convention.
     """
     ka = desc_a.shape[0]
     kb = desc_b.shape[0]
     if ka != kb:
         raise ValueError(f"fused matcher requires Ka == Kb, got {ka} != {kb}")
+    if ka > MAX_K:
+        raise ValueError(f"fused matcher supports K <= {MAX_K}, got {ka}")
     a = unpack_bits_pm1(desc_a, dtype=jnp.float32)
     bt = unpack_bits_pm1(desc_b, dtype=jnp.float32).T
     va = valid_a.astype(jnp.float32).reshape(1, ka)
@@ -88,8 +106,9 @@ def match_reductions(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(a, bt, va, vb)
-    d1 = out[0]
+    # Report invalid entries as >= BIG like the XLA matcher.
+    d1 = jnp.where(out[0] >= _INVALID, BIG, out[0])
     i1 = out[1].astype(jnp.int32)
-    d2 = out[2]
+    d2 = jnp.where(out[2] >= _INVALID, BIG, out[2])
     col_best = out[3].astype(jnp.int32)
     return d1, i1, d2, col_best

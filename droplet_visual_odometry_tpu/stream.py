@@ -137,6 +137,8 @@ class OnlineVO:
             k=self.cfg.n_keypoints,
             threshold=self.cfg.fast_threshold,
             arc_length=self.cfg.fast_arc_length,
+            mode=self.cfg.frontend,
+            dog_threshold=self.cfg.dog_threshold,
         )
         self._step += 1
         key = jax.random.fold_in(self._key, self._step)
@@ -164,6 +166,8 @@ class OnlineVO:
             k=self.cfg.n_keypoints,
             threshold=self.cfg.fast_threshold,
             arc_length=self.cfg.fast_arc_length,
+            mode=self.cfg.frontend,
+            dog_threshold=self.cfg.dog_threshold,
         )
         self._prev_corners = jnp.asarray(corners)
         self._prev_valid = mvalid

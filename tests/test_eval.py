@@ -93,3 +93,28 @@ class TestMetrics:
         st = metrics.per_axis_stats(random_traj(30))
         for k in ("translation_std", "translation_mean", "euler_std", "euler_mean"):
             assert st[k].shape == (3,)
+
+
+def test_gt_vo_difference_parity():
+    """PEM:113-164 parity: per-frame translation/euler deltas + euclidean."""
+    import numpy as np
+
+    from droplet_visual_odometry_tpu.eval import metrics
+
+    rng = np.random.default_rng(7)
+    gt = np.tile(np.eye(4), (5, 1, 1))
+    vo = gt.copy()
+    vo[:, :3, 3] = rng.normal(size=(5, 3))
+    d = metrics.gt_vo_difference(gt, vo)
+    np.testing.assert_allclose(d["translation_diff"], -vo[:, :3, 3])
+    np.testing.assert_allclose(d["euclidean"], np.linalg.norm(vo[:, :3, 3], axis=1))
+    np.testing.assert_allclose(d["euler_diff"], 0.0, atol=1e-6)
+    # Rotation deltas wrap into (-pi, pi].
+    from droplet_visual_odometry_tpu.core import se3
+    import jax.numpy as jnp
+
+    Rz = np.asarray(se3.euler_to_rotmat(jnp.asarray([0.0, 0.0, 3.0])))
+    vo2 = gt.copy()
+    vo2[:, :3, :3] = Rz
+    d2 = metrics.gt_vo_difference(gt, vo2)
+    np.testing.assert_allclose(d2["euler_diff"][:, 2], -3.0, atol=1e-5)
