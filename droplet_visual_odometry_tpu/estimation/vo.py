@@ -30,7 +30,10 @@ from droplet_visual_odometry_tpu.core import se3
 from droplet_visual_odometry_tpu.estimation import scale as scale_mod
 from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig, ransac_pose
 from droplet_visual_odometry_tpu.frontend import matcher
-from droplet_visual_odometry_tpu.frontend.features import detect_and_describe
+from droplet_visual_odometry_tpu.frontend.features import (
+    detect_and_describe,
+    detect_and_describe_batch,
+)
 from droplet_visual_odometry_tpu.frontend.orb import Features
 
 
@@ -132,34 +135,36 @@ def run_sequence(
     real_marker_length: float,
     cfg: VOConfig = VOConfig(),
 ) -> VOTrajectory:
-    """Frame-sequential VO over a whole sequence as one lax.scan program."""
+    """Frame-sequential VO over a whole sequence as one compiled program.
+
+    Structure: the frontend runs ONCE for the whole batch of frames (large
+    fused kernels / big MXU ops), then a lax.scan chains the cheap per-pair
+    stage (match + RANSAC + scale + compose) over the precomputed features.
+    """
     n = frames.shape[0]
 
-    def extract(img):
-        return detect_and_describe(
-            img,
-            k=cfg.n_keypoints,
-            threshold=cfg.fast_threshold,
-            arc_length=cfg.fast_arc_length,
-            mode=cfg.frontend,
-            dog_threshold=cfg.dog_threshold,
-        )
-
-    feats0 = extract(frames[0])
-    corners0 = jnp.nan_to_num(marker_corners[0])
+    all_feats = detect_and_describe_batch(
+        frames,
+        k=cfg.n_keypoints,
+        threshold=cfg.fast_threshold,
+        arc_length=cfg.fast_arc_length,
+        mode=cfg.frontend,
+        dog_threshold=cfg.dog_threshold,
+    )
+    feats0 = jax.tree_util.tree_map(lambda a: a[0], all_feats)
+    feats_rest = jax.tree_util.tree_map(lambda a: a[1:], all_feats)
+    corners = jnp.nan_to_num(marker_corners)
     keys = jax.random.split(key, n - 1)
 
     def step(carry, inp):
         feats_prev, prev_corners, prev_mvalid, abs_prev = carry
-        frame, corners, mvalid, k = inp
-        feats_curr = extract(frame)
-        corners = jnp.nan_to_num(corners)
+        feats_curr, curr_corners, mvalid, k = inp
         res = two_frame_vo(
             k,
             feats_prev,
             feats_curr,
             prev_corners,
-            corners,
+            curr_corners,
             prev_mvalid & mvalid,
             K,
             real_marker_length,
@@ -167,13 +172,13 @@ def run_sequence(
         )
         abs_curr = res.rel @ abs_prev
         out = (abs_curr, res.rel, res.n_matches, res.n_inliers, res.scale, res.ok)
-        return (feats_curr, corners, mvalid, abs_curr), out
+        return (feats_curr, curr_corners, mvalid, abs_curr), out
 
     init_pose = init_pose.astype(jnp.float32)
     (_, _, _, _), outs = jax.lax.scan(
         step,
-        (feats0, corners0, marker_present[0], init_pose),
-        (frames[1:], marker_corners[1:], marker_present[1:], keys),
+        (feats0, corners[0], marker_present[0], init_pose),
+        (feats_rest, corners[1:], marker_present[1:], keys),
     )
     abs_rest, rels, n_matches, n_inliers, scales, ok = outs
     abs_poses = jnp.concatenate([init_pose[None], abs_rest], axis=0)

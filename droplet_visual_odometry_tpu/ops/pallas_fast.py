@@ -39,14 +39,15 @@ HALO = 8  # halo rows each side; 8-row aligned so the DMA slice tiles cleanly
 
 
 def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, w_pad, h_orig, w_orig, threshold, arc_length):
-    i = pl.program_id(0)
+    n = pl.program_id(0)  # frame index (batch grid dim; 1 for single frames)
+    i = pl.program_id(1)
     row0 = i * tile_h
     # img_ref holds HALO extra rows top+bottom: stripe rows [row0, row0+tile_h)
     # of the output need padded rows [row0, row0 + tile_h + 2*HALO). Both the
     # start (multiple of tile_h) and length are 8-row aligned — a Mosaic
     # requirement for VMEM memref slices (sublane tiling).
     dma = pltpu.make_async_copy(
-        img_ref.at[pl.ds(pl.multiple_of(row0, tile_h), tile_h + 2 * HALO)],
+        img_ref.at[n, pl.ds(pl.multiple_of(row0, tile_h), tile_h + 2 * HALO)],
         scratch,
         sem,
     )
@@ -94,30 +95,33 @@ def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, w_pad, h_orig, w_orig, th
         & (xx >= BORDER)
         & (xx < w_orig - BORDER)
     )
-    out_ref[:] = jnp.where(is_corner & in_bounds, score, 0.0)
+    out_ref[0] = jnp.where(is_corner & in_bounds, score, 0.0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("threshold", "arc_length", "tile_h", "interpret")
 )
-def fast_score_pallas(
-    img: jax.Array,
+def fast_score_pallas_batch(
+    imgs: jax.Array,
     threshold: float = 20.0,
     arc_length: int = 9,
     tile_h: int = TILE_H,
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in for frontend.fast.fast_score, bit-matching its semantics.
+    """Batched corner response: (N, H, W) float -> (N, H, W) float32.
 
-    (H, W) float -> (H, W) float32 corner response (0 for non-corners).
+    The batch rides as the leading grid dimension (one program per frame per
+    row stripe), so whole-sequence frontends issue ONE kernel launch.
     """
-    img = img.astype(jnp.float32)
-    h, w = img.shape
+    imgs = imgs.astype(jnp.float32)
+    n, h, w = imgs.shape
     h_pad = _round_up(h, tile_h)
     w_pad = _round_up(w, LANE)
     # Edge-replicate pad to tile multiples + HALO rows top/bottom.
-    padded = jnp.pad(img, ((HALO, h_pad - h + HALO), (0, w_pad - w)), mode="edge")
-    grid = (h_pad // tile_h,)
+    padded = jnp.pad(
+        imgs, ((0, 0), (HALO, h_pad - h + HALO), (0, w_pad - w)), mode="edge"
+    )
+    grid = (n, h_pad // tile_h)
     out = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -129,10 +133,10 @@ def fast_score_pallas(
             arc_length=int(arc_length),
         ),
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, h_pad, w_pad), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, tile_h, w_pad), lambda ni, i: (ni, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * HALO, w_pad), jnp.float32),
@@ -140,4 +144,20 @@ def fast_score_pallas(
         ],
         interpret=interpret,
     )(padded)
-    return out[:h, :w]
+    return out[:, :h, :w]
+
+
+def fast_score_pallas(
+    img: jax.Array,
+    threshold: float = 20.0,
+    arc_length: int = 9,
+    tile_h: int = TILE_H,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for frontend.fast.fast_score, bit-matching its semantics.
+
+    (H, W) float -> (H, W) float32 corner response (0 for non-corners).
+    """
+    return fast_score_pallas_batch(
+        img[None], threshold, arc_length, tile_h, interpret
+    )[0]

@@ -159,3 +159,29 @@ class TestMatcher:
         assert near.mean() > 0.6  # most matches are on landmarks at all
         correct = (lm0 == lm1)[near].mean()
         assert correct > 0.8, f"landmark association accuracy {correct:.2f}"
+
+
+def test_batch_frontend_matches_per_frame():
+    """detect_and_describe_batch must equal mapping the single-frame path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from droplet_visual_odometry_tpu.frontend.features import (
+        detect_and_describe,
+        detect_and_describe_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = rng.uniform(0, 80, size=(3, 96, 128)).astype(np.float32)
+    for y, x in rng.integers(10, [86, 118], size=(40, 2)):
+        imgs[rng.integers(0, 3), y : y + 3, x : x + 3] += 140.0
+    imgs = jnp.asarray(imgs)
+
+    batch = detect_and_describe_batch(imgs, k=64)
+    for i in range(3):
+        single = detect_and_describe(imgs[i], k=64)
+        np.testing.assert_array_equal(np.asarray(batch.valid[i]), np.asarray(single.valid))
+        sel = np.asarray(single.valid)
+        np.testing.assert_allclose(np.asarray(batch.xy[i])[sel], np.asarray(single.xy)[sel])
+        np.testing.assert_array_equal(np.asarray(batch.desc[i])[sel], np.asarray(single.desc)[sel])

@@ -110,3 +110,14 @@ def test_backend_auto_detection():
     assert ops.pallas_enabled()
     ops.set_pallas(None)
     assert ops.interpret_mode()
+
+
+def test_fast_score_pallas_batch_matches_single():
+    imgs = jnp.stack([jnp.asarray(_image(96, 128, seed=s)) for s in range(3)])
+    from droplet_visual_odometry_tpu.ops.pallas_fast import fast_score_pallas_batch
+
+    batch = np.asarray(fast_score_pallas_batch(imgs, tile_h=32, interpret=True))
+    for i in range(3):
+        single = np.asarray(fast.fast_score(imgs[i]))
+        np.testing.assert_array_equal(batch[i] > 0, single > 0)
+        np.testing.assert_allclose(batch[i], single, atol=1e-3, rtol=1e-5)
