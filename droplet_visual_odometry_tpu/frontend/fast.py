@@ -116,6 +116,52 @@ def select_topk(score_map: jax.Array, k: int) -> Keypoints:
     )
 
 
+def select_topk_tiled(
+    score_map: jax.Array, k: int, tile: int = 8, per_tile: int = 3
+) -> Keypoints:
+    """Spatially-bucketed top-k: strongest `per_tile` corners per tile x tile
+    block, then a global top-k over those candidates.
+
+    Replaces the flat lax.top_k over every pixel (H*W elements — the dominant
+    frontend cost at 1080p on TPU) with `per_tile` cheap max/argmax passes
+    over (n_tiles, tile*tile) plus a top-k over n_tiles*per_tile candidates —
+    a ~100x smaller sort. Selection differs from exact global top-k only when
+    a single tile holds more than `per_tile` of the global top-k after 3x3
+    NMS; the bucketing also spreads keypoints across the image (the same idea
+    as OpenCV's grid-adapted detectors), which helps pose stability.
+    """
+    h, w = score_map.shape
+    ph = (-h) % tile
+    pw = (-w) % tile
+    s = jnp.pad(score_map, ((0, ph), (0, pw)))
+    th, tw = (h + ph) // tile, (w + pw) // tile
+    n_tiles = th * tw
+    s = s.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3).reshape(n_tiles, tile * tile)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    cand_v = []
+    cand_i = []
+    for _ in range(per_tile):
+        v = jnp.max(s, axis=1)
+        i = jnp.argmax(s, axis=1).astype(jnp.int32)
+        cand_v.append(v)
+        cand_i.append(i)
+        s = jnp.where(cols == i[:, None], -jnp.inf, s)
+    vals = jnp.stack(cand_v, axis=1).reshape(-1)  # (n_tiles*per_tile,)
+    locs = jnp.stack(cand_i, axis=1).reshape(-1)
+
+    t_idx = jnp.repeat(jnp.arange(n_tiles, dtype=jnp.int32), per_tile)
+    ty = (t_idx // tw) * tile + locs // tile
+    tx = (t_idx % tw) * tile + locs % tile
+
+    top_v, top_j = jax.lax.top_k(vals, k)
+    xs = tx[top_j].astype(jnp.float32)
+    ys = ty[top_j].astype(jnp.float32)
+    return Keypoints(
+        xy=jnp.stack([xs, ys], axis=-1), score=top_v, valid=top_v > 0.0
+    )
+
+
 def detect(img: jax.Array, k: int = 512, threshold: float = 20.0, arc_length: int = 9) -> Keypoints:
     """FAST detect + NMS + top-k on one (H, W) frame. Jittable; vmap for batches.
 
@@ -132,4 +178,4 @@ def detect(img: jax.Array, k: int = 512, threshold: float = 20.0, arc_length: in
         )
     else:
         score = fast_score(img, threshold, arc_length)
-    return select_topk(nms3x3(score), k)
+    return select_topk_tiled(nms3x3(score), k)

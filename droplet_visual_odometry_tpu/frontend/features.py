@@ -92,7 +92,7 @@ def detect_and_describe_batch(
         )
     else:
         score = jax.vmap(lambda f: fast.fast_score(f, threshold, arc_length))(imgs)
-    kps = jax.vmap(lambda s: fast.select_topk(fast.nms3x3(s), k))(score)
+    kps = jax.vmap(lambda s: fast.select_topk_tiled(fast.nms3x3(s), k))(score)
     blur = filters.gaussian_blur(imgs, sigma=2.0, radius=4)
     desc, ang = jax.vmap(describe)(blur, kps)
 
