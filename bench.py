@@ -119,12 +119,16 @@ def bench_ours(seq) -> float:
             key, frames, corners, present, init, K, seq.real_marker_length, cfg
         )
 
+    # Sync via a scalar device_get: on the tunneled TPU platform used by the
+    # driver, block_until_ready can return before execution finishes (measured
+    # 1000x-optimistic timings); fetching a value cannot.
     traj = run()  # compile + warmup
-    jax.block_until_ready(traj)
-    n_rep = 3
+    _ = jax.device_get(traj.abs_poses[0, 0, 0])
+    n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        jax.block_until_ready(run())
+        traj = run()
+    _ = jax.device_get(traj.abs_poses[0, 0, 0])
     dt = (time.perf_counter() - t0) / n_rep
     return (len(seq) - 1) / dt
 

@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 
 from droplet_visual_odometry_tpu.frontend import fast, filters
-from droplet_visual_odometry_tpu.frontend.orb import Features, HALF, describe
+from droplet_visual_odometry_tpu.frontend.orb import (
+    Features,
+    HALF,
+    describe,
+    describe_batch,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "threshold", "arc_length", "mode", "dog_threshold"))
@@ -94,7 +99,7 @@ def detect_and_describe_batch(
         score = jax.vmap(lambda f: fast.fast_score(f, threshold, arc_length))(imgs)
     kps = jax.vmap(lambda s: fast.select_topk_tiled(fast.nms3x3(s), k))(score)
     blur = filters.gaussian_blur(imgs, sigma=2.0, radius=4)
-    desc, ang = jax.vmap(describe)(blur, kps)
+    desc, ang = describe_batch(blur, kps.xy)
 
     h, w = imgs.shape[-2:]
     x, y = kps.xy[..., 0], kps.xy[..., 1]

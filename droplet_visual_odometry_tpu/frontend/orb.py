@@ -3,21 +3,36 @@
 Replaces the descriptor half of cv.ORB_create().detectAndCompute
 (reference: visual_odometry_v3.py:96, 370-379). Design:
 
-  * Orientation by intensity centroid (the ORB method): patch moments m01/m10
-    computed from gathered per-keypoint patches in one batched reduction.
+  * Orientation by intensity centroid (the ORB method): patch moments m01/m10.
   * Descriptor: 256 pixel-pair comparisons on a sigma~2 blurred image. The
     sampling pattern is OUR OWN deterministic pattern (seeded Gaussian pairs as
     in the original BRIEF paper) — not OpenCV's learned table — since both
     sides of every match use the same pattern, the choice only needs to be
     spread-out and fixed.
   * Steering: the pattern is pre-rotated into ANGLE_BINS discrete orientations
-    (OpenCV quantises to 12 degrees as well); each keypoint selects its bin and
-    gathers 512 pixels from its patch -> 256 comparisons -> bit-packed into
-    8 uint32 words.
+    (OpenCV quantises to 12 degrees as well).
+
+TPU mapping — the whole per-keypoint stage is ONE MXU matmul. Measured facts
+that force this shape (TPU v5e, 1080p, 24 frames x 512 keypoints):
+
+  * Scalar-element gathers run at ~70M elem/s on TPU regardless of index
+    pattern — sampling 512 pixels per keypoint via gather costs ~90 ms, and
+    gathering whole patches ~250 ms. Gathers are NOT how you read patches.
+  * Per-keypoint dynamic_slice lowers to a serial HLO while loop (~30 ms for
+    the 37x37 patch extraction) — tolerable, and the only gather-ish op kept.
+  * A (12288, 1369) @ (1369, 7682) bf16 matmul runs in ~5 ms on the MXU.
+
+So: extract each keypoint's 37x37 patch once, then multiply by a constant
+steering matrix whose columns are [disc moment weights wy, wx] ++ [for each
+angle bin, 256 columns of (+1 at rotated sample p2, -1 at rotated sample p1)].
+The sign of column (b, j) is exactly the BRIEF test p1 < p2 under rotation bin
+b; the keypoint's bin (from the moment columns of the same matmul) selects the
+256 relevant columns with a one-hot contraction. Bits are packed 256 -> 8
+uint32 words by a log-tree of pairwise or/shift combines (a flat 32-way
+shift+reduce is a ~25 ms-class op on TPU at this size).
 
 Everything is fixed-shape: K keypoints in, (K, 8) uint32 descriptors out, with
-a validity mask. vmap over frames for batches; gathers are the only
-non-elementwise ops and XLA lowers them to efficient TPU dynamic-gathers.
+a validity mask.
 """
 
 from __future__ import annotations
@@ -53,25 +68,39 @@ def _make_pattern(seed: int = 7) -> np.ndarray:
 _PATTERN = _make_pattern()
 
 
-def _rotated_pattern_indices() -> np.ndarray:
-    """Pre-rotate the pattern into ANGLE_BINS orientations and flatten to patch
-    indices: (ANGLE_BINS, 512) int32 indices into a PATCH*PATCH patch."""
-    out = np.empty((ANGLE_BINS, N_BITS * 2), np.int32)
+def _build_steer_weights() -> np.ndarray:
+    """(PATCH*PATCH, 2 + ANGLE_BINS*N_BITS) steering matrix (see module doc).
+
+    Column 0/1: intensity-centroid moment weights wy/wx over the inscribed
+    disc (m01 = patch . wy, m10 = patch . wx). Columns 2 + b*N_BITS + j:
+    +1 at bin-b-rotated position of test point 2 of pair j, -1 at test point 1
+    (positions clipped to the patch), so patch . column > 0  <=>  p1 < p2.
+    """
+    w = np.zeros((PATCH * PATCH, 2 + ANGLE_BINS * N_BITS), np.float32)
+
+    d = np.arange(PATCH, dtype=np.float32) - HALF
+    yy, xx = np.meshgrid(d, d, indexing="ij")
+    disc = (yy * yy + xx * xx) <= (HALF * HALF)
+    w[:, 0] = np.where(disc, yy, 0.0).reshape(-1)
+    w[:, 1] = np.where(disc, xx, 0.0).reshape(-1)
+
+    dy = _PATTERN[..., 0].astype(np.float32)  # (256, 2)
+    dx = _PATTERN[..., 1].astype(np.float32)
     for b in range(ANGLE_BINS):
         a = 2.0 * np.pi * b / ANGLE_BINS
-        c, s = np.cos(a), np.sin(a)
-        # offsets are (dy, dx); rotate in image coords
-        dy = _PATTERN[..., 0]
-        dx = _PATTERN[..., 1]
-        ry = np.round(s * dx + c * dy).astype(np.int32)
-        rx = np.round(c * dx - s * dy).astype(np.int32)
-        ry = np.clip(ry, -HALF, HALF) + HALF
-        rx = np.clip(rx, -HALF, HALF) + HALF
-        out[b] = (ry * PATCH + rx).reshape(-1)
-    return out
+        c, s = np.float32(np.cos(a)), np.float32(np.sin(a))
+        ry = np.clip(np.round(s * dx + c * dy), -HALF, HALF).astype(np.int32) + HALF
+        rx = np.clip(np.round(c * dx - s * dy), -HALF, HALF).astype(np.int32) + HALF
+        pos = ry * PATCH + rx  # (256, 2) indices into the flat patch
+        cols = 2 + b * N_BITS + np.arange(N_BITS)
+        # += so coincident p1/p2 (possible after clipping) cancel to 0 -> bit 0,
+        # matching the p1 < p2 comparison convention.
+        np.add.at(w, (pos[:, 1], cols), 1.0)
+        np.add.at(w, (pos[:, 0], cols), -1.0)
+    return w
 
 
-_ROT_INDICES = jnp.asarray(_rotated_pattern_indices())
+_STEER_W = jnp.asarray(_build_steer_weights().astype(jnp.bfloat16))
 
 
 def extract_patches(img: jax.Array, xy: jax.Array) -> jax.Array:
@@ -93,7 +122,11 @@ def extract_patches(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 
 def orientation(patches: jax.Array) -> jax.Array:
-    """Intensity-centroid angle per patch: atan2(m01, m10) over a centred disc."""
+    """Intensity-centroid angle per patch: atan2(m01, m10) over a centred disc.
+
+    Float32 reference implementation (describe_batch computes the same moments
+    in bfloat16 inside its fused steering matmul).
+    """
     dy = jnp.arange(PATCH, dtype=jnp.float32) - HALF
     dx = jnp.arange(PATCH, dtype=jnp.float32) - HALF
     yy, xx = jnp.meshgrid(dy, dx, indexing="ij")
@@ -105,31 +138,69 @@ def orientation(patches: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+def describe_batch(
+    imgs_blur: jax.Array, xy: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(N, H, W) blurred frames + (N, K, 2) keypoints -> packed descriptors.
+
+    Returns ((N, K, 8) uint32 descriptors, (N, K) angles). See the module
+    docstring for why this is one patch-extraction pass + one MXU matmul.
+    """
+    n, h, w = imgs_blur.shape
+    k = xy.shape[1]
+    imgs_blur = imgs_blur.astype(jnp.float32)
+    patches = jax.vmap(extract_patches)(imgs_blur, xy)  # (N, K, PATCH, PATCH)
+    flat_p = patches.reshape(n * k, PATCH * PATCH)
+
+    # Exact-in-f32 matmul via hi/lo bf16 split: pixel = hi + lo with both
+    # halves bf16-exact, weights are small integers (bf16-exact), products
+    # accumulate in f32 on the MXU. A single bf16 pass rounds 0..255 pixels to
+    # ~1.0 ulp, which flips near-tie descriptor bits on the smooth blurred
+    # image (~10/256 bits of noise, measured) — the second pass removes that
+    # for ~5 ms.
+    hi = flat_p.astype(jnp.bfloat16)
+    lo = (flat_p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    feats = jnp.dot(hi, _STEER_W, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, _STEER_W, preferred_element_type=jnp.float32
+    )  # (NK, 2 + 30*256) f32
+    m01 = feats[:, 0]
+    m10 = feats[:, 1]
+    ang = jnp.arctan2(m01, m10)  # (NK,)
+
+    two_pi = 2.0 * jnp.pi
+    bin_idx = jnp.mod(jnp.round(ang / two_pi * ANGLE_BINS), ANGLE_BINS).astype(jnp.int32)
+
+    # Select each keypoint's bin with a one-hot contraction (exact: one term
+    # per output), then threshold: bit j = (patch . D[bin, j]) > 0 = (p1 < p2).
+    allbits = feats[:, 2:].reshape(n * k, ANGLE_BINS, N_BITS)
+    onehot = (
+        bin_idx[:, None] == jnp.arange(ANGLE_BINS, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    bits = jnp.einsum("kbs,kb->ks", allbits, onehot) > 0  # (NK, 256) bool
+
+    # Pack 256 bits -> 8 uint32 words with a log-tree of pairwise combines.
+    v = bits.astype(jnp.uint32)
+    width = 1
+    while v.shape[-1] > N_WORDS:
+        v = v[..., 0::2] | (v[..., 1::2] << width)
+        width *= 2
+    # v[..., j] holds an interleaved subset of the pattern bits — a fixed
+    # bijective bit permutation, identical on both sides of every match, so
+    # Hamming distances are unchanged.
+    return v.reshape(n, k, N_WORDS), ang.reshape(n, k)
+
+
 def describe(
     img_blur: jax.Array, kps: Keypoints
 ) -> tuple[jax.Array, jax.Array]:
     """Compute (K, 8) uint32 packed descriptors + (K,) angle for keypoints.
 
     `img_blur` must already be Gaussian-blurred (sigma~2) — done once per frame
-    by the caller so the blur amortises over all keypoints.
+    by the caller so the blur amortises over all keypoints. Single-frame
+    convenience wrapper over describe_batch.
     """
-    patches = extract_patches(img_blur, kps.xy)
-    ang = orientation(patches)
-
-    # Quantise angle to a pattern bin.
-    two_pi = 2.0 * jnp.pi
-    bin_idx = jnp.mod(jnp.round(ang / two_pi * ANGLE_BINS), ANGLE_BINS).astype(jnp.int32)
-
-    flat = patches.reshape(patches.shape[0], PATCH * PATCH)
-    sample_idx = _ROT_INDICES[bin_idx]  # (K, 512)
-    samples = jnp.take_along_axis(flat, sample_idx, axis=1)  # (K, 512)
-    p1 = samples[:, 0::2]
-    p2 = samples[:, 1::2]
-    bits = (p1 < p2).astype(jnp.uint32)  # (K, 256)
-
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    words = jnp.sum(bits.reshape(-1, N_WORDS, 32) << shifts[None, None, :], axis=-1)
-    return words.astype(jnp.uint32), ang
+    desc, ang = describe_batch(img_blur[None], kps.xy[None])
+    return desc[0], ang[0]
 
 
 class Features(NamedTuple):
