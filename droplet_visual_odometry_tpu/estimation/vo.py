@@ -138,8 +138,11 @@ def run_sequence(
     """Frame-sequential VO over a whole sequence as one compiled program.
 
     Structure: the frontend runs ONCE for the whole batch of frames (large
-    fused kernels / big MXU ops), then a lax.scan chains the cheap per-pair
-    stage (match + RANSAC + scale + compose) over the precomputed features.
+    fused kernels / big MXU ops); the per-pair stage (match + RANSAC + scale)
+    is data-parallel across all N-1 pairs (one vmap, not a lax.scan — pairs
+    are independent given precomputed features); only the pose chaining
+    abs_i = rel_i @ ... @ rel_1 @ abs_0 is sequential, and that is a prefix
+    product — one associative_scan of 4x4 matmuls, O(log N) depth.
     """
     n = frames.shape[0]
 
@@ -151,37 +154,33 @@ def run_sequence(
         mode=cfg.frontend,
         dog_threshold=cfg.dog_threshold,
     )
-    feats0 = jax.tree_util.tree_map(lambda a: a[0], all_feats)
-    feats_rest = jax.tree_util.tree_map(lambda a: a[1:], all_feats)
+    feats_prev = jax.tree_util.tree_map(lambda a: a[:-1], all_feats)
+    feats_curr = jax.tree_util.tree_map(lambda a: a[1:], all_feats)
     corners = jnp.nan_to_num(marker_corners)
     keys = jax.random.split(key, n - 1)
 
-    def step(carry, inp):
-        feats_prev, prev_corners, prev_mvalid, abs_prev = carry
-        feats_curr, curr_corners, mvalid, k = inp
-        res = two_frame_vo(
-            k,
-            feats_prev,
-            feats_curr,
-            prev_corners,
-            curr_corners,
-            prev_mvalid & mvalid,
-            K,
-            real_marker_length,
-            cfg,
-        )
-        abs_curr = res.rel @ abs_prev
-        out = (abs_curr, res.rel, res.n_matches, res.n_inliers, res.scale, res.ok)
-        return (feats_curr, curr_corners, mvalid, abs_curr), out
+    def pair(k, fp, fc, pc, cc, mv):
+        return two_frame_vo(k, fp, fc, pc, cc, mv, K, real_marker_length, cfg)
+
+    res = jax.vmap(pair)(
+        keys,
+        feats_prev,
+        feats_curr,
+        corners[:-1],
+        corners[1:],
+        marker_present[:-1] & marker_present[1:],
+    )
 
     init_pose = init_pose.astype(jnp.float32)
-    (_, _, _, _), outs = jax.lax.scan(
-        step,
-        (feats0, corners[0], marker_present[0], init_pose),
-        (feats_rest, corners[1:], marker_present[1:], keys),
+    chain = jnp.concatenate([init_pose[None], res.rel], axis=0)
+    abs_poses = jax.lax.associative_scan(lambda a, b: b @ a, chain)
+    rels, n_matches, n_inliers, scales, ok = (
+        res.rel,
+        res.n_matches,
+        res.n_inliers,
+        res.scale,
+        res.ok,
     )
-    abs_rest, rels, n_matches, n_inliers, scales, ok = outs
-    abs_poses = jnp.concatenate([init_pose[None], abs_rest], axis=0)
     return VOTrajectory(
         abs_poses=abs_poses,
         rel_poses=rels,
