@@ -149,8 +149,32 @@ def describe_batch(
     n, h, w = imgs_blur.shape
     k = xy.shape[1]
     imgs_blur = imgs_blur.astype(jnp.float32)
-    patches = jax.vmap(extract_patches)(imgs_blur, xy)  # (N, K, PATCH, PATCH)
-    flat_p = patches.reshape(n * k, PATCH * PATCH)
+
+    from droplet_visual_odometry_tpu import ops
+
+    if ops.pallas_patches_enabled():
+        # Batched async-DMA patch reads (ops/pallas_patches.py) — the XLA
+        # lowering of vmap(dynamic_slice) is a serial HLO while loop.
+        from droplet_visual_odometry_tpu.ops.pallas_patches import (
+            extract_patches_pallas,
+        )
+
+        ij = jnp.stack([xy[..., 1], xy[..., 0]], axis=-1)  # (N, K) row, col
+        ij = jnp.round(ij).astype(jnp.int32) - HALF
+        ij = jnp.clip(ij, 0, jnp.asarray([h - PATCH, w - PATCH]))
+        fidx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)
+        )
+        origins = jnp.concatenate(
+            [fidx.reshape(n * k, 1), ij.reshape(n * k, 2)], axis=-1
+        )
+        patches = extract_patches_pallas(
+            imgs_blur, origins, interpret=ops.interpret_mode()
+        )  # (N*K, PATCH, PATCH)
+        flat_p = patches.reshape(n * k, PATCH * PATCH)
+    else:
+        patches = jax.vmap(extract_patches)(imgs_blur, xy)  # (N, K, P, P)
+        flat_p = patches.reshape(n * k, PATCH * PATCH)
 
     # Exact-in-f32 matmul via hi/lo bf16 split: pixel = hi + lo with both
     # halves bf16-exact, weights are small integers (bf16-exact), products

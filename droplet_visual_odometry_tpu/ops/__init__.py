@@ -49,3 +49,14 @@ _MATCH_KERNEL = os.environ.get("DVO_PALLAS_MATCH", "0") not in ("0", "false", "F
 
 def pallas_match_enabled() -> bool:
     return _MATCH_KERNEL or _FORCE is True
+
+
+# Per-keypoint patch extraction as batched async DMAs (ops/pallas_patches.py).
+# Replaces the serial vmap(dynamic_slice) HLO loop in the descriptor stage.
+_PATCH_KERNEL_ENV = os.environ.get("DVO_PALLAS_PATCHES")
+
+
+def pallas_patches_enabled() -> bool:
+    if _PATCH_KERNEL_ENV is not None:
+        return _PATCH_KERNEL_ENV not in ("0", "false", "False")
+    return pallas_enabled()

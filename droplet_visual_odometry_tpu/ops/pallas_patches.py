@@ -14,8 +14,11 @@ lane/sublane rotation by a runtime amount is a native TPU op, unlike dynamic
 lane slicing.
 
 Patch origins (frame index + clamped top-left corner) are computed by the
-caller and passed as a scalar-prefetch operand so the kernel can program the
-DMAs before any compute (pallas_guide.md: PrefetchScalarGridSpec).
+caller and passed as scalar-prefetch operands so the kernel can program the
+DMAs before any compute (pallas_guide.md: PrefetchScalarGridSpec). They are
+passed as THREE 1-D arrays, not one (M, 3): SMEM pads the minor dimension to
+the 128-lane width, so an (M, 3) i32 operand would occupy M*128*4 bytes and
+blow the ~1 MB SMEM budget at M=12k (observed on v5e).
 """
 
 from __future__ import annotations
@@ -33,15 +36,15 @@ _ROWS = 48  # window rows: covers sublane misalignment 0..7 + 37 rows, 8-aligned
 _COLS = 256  # window cols: covers lane misalignment 0..127 + 37 cols, 128-aligned
 
 
-def _kernel(origins_ref, imgs_hbm, out_ref, scratch, sems, *, block):
+def _kernel(f_ref, y_ref, x_ref, imgs_hbm, out_ref, scratch, sems, *, block):
     i = pl.program_id(0)
 
     def dma(b):
         k = i * block + b
-        ya = pl.multiple_of(origins_ref[k, 1] & ~7, 8)
-        xa = pl.multiple_of(origins_ref[k, 2] & ~127, 128)
+        ya = pl.multiple_of(y_ref[k] & ~7, 8)
+        xa = pl.multiple_of(x_ref[k] & ~127, 128)
         return pltpu.make_async_copy(
-            imgs_hbm.at[origins_ref[k, 0], pl.ds(ya, _ROWS), pl.ds(xa, _COLS)],
+            imgs_hbm.at[f_ref[k], pl.ds(ya, _ROWS), pl.ds(xa, _COLS)],
             scratch.at[b],
             sems.at[b],
         )
@@ -51,8 +54,8 @@ def _kernel(origins_ref, imgs_hbm, out_ref, scratch, sems, *, block):
     for b in range(block):
         k = i * block + b
         dma(b).wait()
-        dy = origins_ref[k, 1] & 7
-        dx = origins_ref[k, 2] & 127
+        dy = y_ref[k] & 7
+        dx = x_ref[k] & 127
         win = scratch[b]
         win = pltpu.roll(win, _ROWS - dy, axis=0)  # roll left by dy
         win = pltpu.roll(win, _COLS - dx, axis=1)  # roll left by dx
@@ -84,12 +87,13 @@ def extract_patches_pallas(
             [origins, jnp.zeros((m_pad - m, 3), origins.dtype)], axis=0
         )
 
+    origins = origins.astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(m_pad // block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (block, PATCH, PATCH), lambda i, origins: (i, 0, 0)
+            (block, PATCH, PATCH), lambda i, f, y, x: (i, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((block, _ROWS, _COLS), jnp.float32),
@@ -101,5 +105,5 @@ def extract_patches_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, PATCH, PATCH), jnp.float32),
         interpret=interpret,
-    )(origins.astype(jnp.int32), imgs)
+    )(origins[:, 0], origins[:, 1], origins[:, 2], imgs)
     return out[:m]

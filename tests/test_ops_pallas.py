@@ -112,6 +112,50 @@ def test_backend_auto_detection():
     assert ops.interpret_mode()
 
 
+def test_extract_patches_pallas_matches_xla():
+    from droplet_visual_odometry_tpu.frontend import orb
+    from droplet_visual_odometry_tpu.ops.pallas_patches import (
+        PATCH,
+        extract_patches_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    n, h, w = 2, 96, 160
+    imgs = jnp.asarray(rng.uniform(0, 255, size=(n, h, w)).astype(np.float32))
+    k = 23  # deliberately not a multiple of the kernel block size
+    xy = rng.uniform(0, [w, h], size=(n, k, 2)).astype(np.float32)
+
+    ref = np.asarray(jax.vmap(orb.extract_patches)(imgs, jnp.asarray(xy)))
+
+    ij = np.stack([xy[..., 1], xy[..., 0]], axis=-1)
+    ij = np.round(ij).astype(np.int32) - orb.HALF
+    ij = np.clip(ij, 0, [h - PATCH, w - PATCH])
+    fidx = np.broadcast_to(np.arange(n, dtype=np.int32)[:, None], (n, k))
+    origins = np.concatenate(
+        [fidx.reshape(n * k, 1), ij.reshape(n * k, 2)], axis=-1
+    )
+    out = np.asarray(
+        extract_patches_pallas(imgs, jnp.asarray(origins), interpret=True)
+    ).reshape(n, k, PATCH, PATCH)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_describe_batch_pallas_patch_path_equals_xla():
+    from droplet_visual_odometry_tpu.frontend import orb
+
+    rng = np.random.default_rng(12)
+    imgs = jnp.asarray(rng.uniform(0, 255, size=(2, 96, 160)).astype(np.float32))
+    xy = jnp.asarray(rng.uniform(10, [150, 86], size=(2, 16, 2)).astype(np.float32))
+    ref_desc, ref_ang = orb.describe_batch(imgs, xy)
+    ops.set_pallas(True)
+    try:
+        out_desc, out_ang = orb.describe_batch(imgs, xy)
+    finally:
+        ops.set_pallas(None)
+    np.testing.assert_array_equal(np.asarray(out_desc), np.asarray(ref_desc))
+    np.testing.assert_allclose(np.asarray(out_ang), np.asarray(ref_ang))
+
+
 def test_fast_score_pallas_batch_matches_single():
     imgs = jnp.stack([jnp.asarray(_image(96, 128, seed=s)) for s in range(3)])
     from droplet_visual_odometry_tpu.ops.pallas_fast import fast_score_pallas_batch
