@@ -56,6 +56,16 @@ def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int | None = None)
     return acc
 
 
+def resize_bilinear(img: jax.Array, new_h: int, new_w: int) -> jax.Array:
+    """Antialiased linear resize of (..., H, W) to (..., new_h, new_w).
+
+    jax.image.resize(linear, antialias) lowers to two separable weight
+    matmuls (one per spatial axis) — MXU work, not gathers — which is the
+    right TPU shape for the pyramid's non-integer scale steps (e.g. 1/sqrt(2))."""
+    shape = img.shape[:-2] + (new_h, new_w)
+    return jax.image.resize(img.astype(jnp.float32), shape, method="linear")
+
+
 def downsample2(img: jax.Array) -> jax.Array:
     """Blur + 2x decimate one pyramid step for (..., H, W)."""
     b = gaussian_blur(img, sigma=1.0, radius=2)

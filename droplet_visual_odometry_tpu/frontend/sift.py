@@ -53,11 +53,16 @@ SPACING = 2  # sample spacing in pixels (covers 32px, inside the 37px patch)
 
 
 def dog_response(img: jax.Array, sigma: float = 1.6, k: float = 1.6) -> jax.Array:
-    """|DoG| blob response at one mid scale: |G(k*sigma) - G(sigma)|."""
+    """|DoG| blob response within one octave: max over two adjacent DoG
+    scales |G(k*s) - G(s)| for s in {sigma, k*sigma} — scale sampling inside
+    the octave; octave coverage comes from the pyramid in detect_and_describe."""
     img = img.astype(jnp.float32)
     g1 = filters.gaussian_blur(img, sigma=sigma, radius=int(3 * sigma + 0.5))
     g2 = filters.gaussian_blur(img, sigma=sigma * k, radius=int(3 * sigma * k + 0.5))
-    return jnp.abs(g2 - g1)
+    g3 = filters.gaussian_blur(
+        img, sigma=sigma * k * k, radius=int(3 * sigma * k * k + 0.5)
+    )
+    return jnp.maximum(jnp.abs(g2 - g1), jnp.abs(g3 - g2))
 
 
 def detect_blobs(img: jax.Array, k: int = 512, threshold: float = 1.0) -> Keypoints:
@@ -164,18 +169,50 @@ def describe(img_blur: jax.Array, kps: Keypoints) -> tuple[jax.Array, jax.Array]
     return desc, ang
 
 
-@functools.partial(jax.jit, static_argnames=("k", "threshold"))
-def detect_and_describe(img: jax.Array, k: int = 512, threshold: float = 1.0):
-    """(H, W) frame -> float-descriptor Features (desc is (K, 128) f32)."""
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "n_octaves"))
+def detect_and_describe(
+    img: jax.Array, k: int = 512, threshold: float = 1.0, n_octaves: int = 3
+):
+    """(H, W) frame -> float-descriptor Features (desc is (K, 128) f32).
+
+    Real scale-space (the reference's SIFT is genuinely scale-invariant,
+    v3:100): intra-octave DoG scale sampling (dog_response) x a power-of-two
+    octave pyramid. Each octave detects + describes at its own resolution on
+    a static per-octave keypoint budget (geometric split, summing to exactly
+    k); coordinates map back to full-resolution pixels. n_octaves=1 is the
+    round-1 single-scale behavior.
+    """
+    from droplet_visual_odometry_tpu.frontend.features import level_budgets
     from droplet_visual_odometry_tpu.frontend.orb import Features
 
     img = img.astype(jnp.float32)
-    kps = detect_blobs(img, k=k, threshold=threshold)
-    blur = filters.gaussian_blur(img, sigma=2.0, radius=4)
-    desc, ang = describe(blur, kps)
-    h, w = img.shape
-    x, y = kps.xy[:, 0], kps.xy[:, 1]
-    interior = (x >= HALF) & (x < w - HALF) & (y >= HALF) & (y < h - HALF)
-    return Features(
-        xy=kps.xy, score=kps.score, angle=ang, desc=desc, valid=kps.valid & interior
-    )
+    h0, w0 = img.shape
+    # Keep every octave at least 64px/axis (descriptor patch is 37px).
+    while n_octaves > 1 and min(h0, w0) // 2 ** (n_octaves - 1) < 64:
+        n_octaves -= 1
+    budgets = level_budgets(k, n_octaves, 2.0) if n_octaves > 1 else [k]
+
+    parts = []
+    oct_img = img
+    for o in range(n_octaves):
+        if o > 0:
+            oct_img = filters.downsample2(oct_img)
+        lh, lw = oct_img.shape
+        kps = detect_blobs(oct_img, k=budgets[o], threshold=threshold)
+        blur = filters.gaussian_blur(oct_img, sigma=2.0, radius=4)
+        desc, ang = describe(blur, kps)
+        x, y = kps.xy[:, 0], kps.xy[:, 1]
+        interior = (x >= HALF) & (x < lw - HALF) & (y >= HALF) & (y < lh - HALF)
+        scale = float(2**o)  # downsample2 decimates [::2]: level x -> 2^o * x
+        parts.append(
+            Features(
+                xy=kps.xy * scale,
+                score=kps.score,
+                angle=ang,
+                desc=desc,
+                valid=kps.valid & interior,
+            )
+        )
+    if n_octaves == 1:
+        return parts[0]
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
