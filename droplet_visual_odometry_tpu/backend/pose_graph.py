@@ -1,11 +1,21 @@
-"""Pose-graph optimisation (loop-closure-style relinearisation).
+"""Pose-graph optimisation (loop-closure relinearisation).
 
 NEW vs the reference (SURVEY.md §5). Nodes are keyframe poses, edges are
-relative-pose measurements (sequential VO edges + any loop-closure edges).
-Gauss-Newton on the se(3) residual r_e = log(Z_e^-1 · X_i^-1 · X_j), with the
-full Jacobian obtained by forward-mode autodiff of the residual stack w.r.t.
-the left-multiplicative twists — exact, and still one fused XLA program since
-graphs are small (M <= ~128 nodes dense 6Mx6M solve).
+relative-pose measurements (sequential VO edges + loop-closure edges from
+backend/loop_closure.py). Gauss-Newton on the se(3) residual
+r_e = log(Z_e^-1 · X_i^-1 · X_j) under left-multiplicative twists
+X <- exp(xi) X, with ANALYTIC block Jacobians:
+
+    err(xi) = Z^-1 X_i^-1 exp(xi_j - xi_i) X_j            (first order)
+            = err_0 · exp(Adj(X_j^-1)(xi_j - xi_i))
+    =>  J_j = Jr^-1(r_0) · Adj(X_j^-1),   J_i = -J_j
+
+with Jr^-1(r) ≈ I + ad(r)/2 (the standard second-order right-Jacobian
+inverse). The normal matrix is assembled as (M, M, 6, 6) blocks by
+scatter-add over edges — E·4 6x6 block outer products instead of the round-1
+dense (E·6, M·6) forward-mode Jacobian, so cost scales with EDGES not
+edges x nodes, and the block structure is the unit that a future
+sharded-across-hosts solver distributes.
 
 Fixed shapes: edges are padded arrays with a weight mask.
 """
@@ -41,47 +51,58 @@ class PoseGraphResult(NamedTuple):
     final_cost: jax.Array
 
 
-def _residuals(xi: jax.Array, graph: PoseGraph) -> jax.Array:
-    """(M, 6) twists -> (E, 6) weighted residuals."""
-    poses = se3.se3_exp(xi) @ graph.poses
+def _edge_residuals(poses: jax.Array, graph: PoseGraph) -> jax.Array:
+    """(E, 6) unweighted residuals r_e = log(Z^-1 X_i^-1 X_j)."""
     Xi = poses[graph.edge_i]
     Xj = poses[graph.edge_j]
     rel = se3.inverse(Xi) @ Xj
-    err = se3.inverse(graph.edge_meas) @ rel
-    r = se3.se3_log(err)
-    return r * jnp.sqrt(jnp.maximum(graph.edge_weight, 0.0))[:, None]
+    return se3.se3_log(se3.inverse(graph.edge_meas) @ rel)
 
 
 def cost(graph: PoseGraph) -> jax.Array:
-    xi0 = jnp.zeros((graph.poses.shape[0], 6), graph.poses.dtype)
-    r = _residuals(xi0, graph)
-    return jnp.sum(r * r)
+    r = _edge_residuals(graph.poses, graph)
+    w = jnp.maximum(graph.edge_weight, 0.0)
+    return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGraphResult:
     """Gauss-Newton with the first node held fixed (gauge). Jittable."""
     M = graph.poses.shape[0]
+    I6 = jnp.eye(6, dtype=graph.poses.dtype)
 
     initial = cost(graph)
 
     def gn_step(_, carry):
         poses, cur_cost = carry
-        g = graph._replace(poses=poses)
+        r = _edge_residuals(poses, graph)  # (E, 6)
+        Xj = poses[graph.edge_j]
+        Jr_inv = I6 + 0.5 * se3.ad(r)
+        Jj = Jr_inv @ se3.adjoint(se3.inverse(Xj))  # (E, 6, 6); Ji = -Jj
+        w = jnp.maximum(graph.edge_weight, 0.0)
 
-        def rfun(xi_flat):
-            return _residuals(xi_flat.reshape(M, 6), g).reshape(-1)
+        # Per-edge normal blocks: with Ji = -Jj, all four H blocks are
+        # +-JjT_Jj and the two gradient blocks are -+JjT_r.
+        JjT_Jj = w[:, None, None] * (jnp.swapaxes(Jj, -1, -2) @ Jj)
+        JjT_r = w[:, None] * jnp.einsum("ekh,ek->eh", Jj, r)
 
-        xi0 = jnp.zeros(M * 6, poses.dtype)
-        J = jax.jacfwd(rfun)(xi0)  # (E*6, M*6)
-        r = rfun(xi0)
-        H = J.T @ J
-        b = -J.T @ r
+        ei, ej = graph.edge_i, graph.edge_j
+        H = jnp.zeros((M, M, 6, 6), poses.dtype)
+        H = H.at[ei, ei].add(JjT_Jj)
+        H = H.at[ej, ej].add(JjT_Jj)
+        H = H.at[ei, ej].add(-JjT_Jj)
+        H = H.at[ej, ei].add(-JjT_Jj)
+        b = jnp.zeros((M, 6), poses.dtype)
+        b = b.at[ei].add(JjT_r)  # -JiT r = +JjT r
+        b = b.at[ej].add(-JjT_r)
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(M * 6, M * 6)
+        bd = b.reshape(M * 6)
         # Gauge: fix node 0.
-        mask = (jnp.arange(M * 6) >= 6).astype(H.dtype)
-        H = H * mask[:, None] * mask[None, :]
-        H = H + jnp.diag(jnp.where(mask > 0, cfg.damping, 1.0))
-        b = b * mask
-        dx = jnp.linalg.solve(H, b).reshape(M, 6)
+        mask = (jnp.arange(M * 6) >= 6).astype(Hd.dtype)
+        Hd = Hd * mask[:, None] * mask[None, :]
+        Hd = Hd + jnp.diag(jnp.where(mask > 0, cfg.damping, 1.0))
+        bd = bd * mask
+        dx = jnp.linalg.solve(Hd, bd).reshape(M, 6)
         new_poses = se3.se3_exp(dx) @ poses
         new_cost = cost(graph._replace(poses=new_poses))
         ok = (new_cost < cur_cost) & jnp.isfinite(new_cost)
@@ -95,7 +116,8 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> Pose
 
 def sequential_edges(poses: jax.Array, weight: float = 1.0) -> PoseGraph:
     """Build a chain pose graph from (M, 4, 4) poses: edges i -> i+1 with the
-    current relative poses as measurements."""
+    current relative poses as measurements (zero residual by construction —
+    loop-closure edges added on top are what create the correction signal)."""
     M = poses.shape[0]
     i = jnp.arange(M - 1, dtype=jnp.int32)
     j = i + 1

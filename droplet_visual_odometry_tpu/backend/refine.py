@@ -20,8 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from droplet_visual_odometry_tpu.backend import ba, keyframes, tracks
-from droplet_visual_odometry_tpu.frontend.features import detect_and_describe
+from droplet_visual_odometry_tpu.backend import ba, keyframes, loop_closure, pose_graph, tracks
+from droplet_visual_odometry_tpu.frontend.features import detect_and_describe_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,11 +54,14 @@ def refine_trajectory(
     if len(kf_idx) < 3:
         return abs_poses.copy(), info
 
+    # One batched frontend pass over the keyframe stack (not a per-keyframe
+    # dispatch loop), then per-keyframe views for the window slicer.
+    feats_b = detect_and_describe_batch(
+        frames[jnp.asarray(kf_idx)], k=cfg.n_keypoints, threshold=cfg.fast_threshold
+    )
     feats = [
-        detect_and_describe(
-            frames[i], k=cfg.n_keypoints, threshold=cfg.fast_threshold
-        )
-        for i in kf_idx
+        jax.tree_util.tree_map(lambda a, i=i: a[i], feats_b)
+        for i in range(len(kf_idx))
     ]
 
     refined_kf = abs_poses[kf_idx].copy()  # cTw with world = marker frame
@@ -101,9 +104,16 @@ def refine_trajectory(
         # Overlap the next window by the two fixed (anchor) keyframes.
         start += max(W - 2, 1)
 
-    # Re-anchor non-keyframe poses to their preceding keyframe:
-    # abs_i = (abs_i @ inv(abs_kf_old)) @ abs_kf_new for i in the segment.
-    refined = abs_poses.copy()
+    return reanchor_segments(abs_poses, kf_idx, refined_kf), info
+
+
+def reanchor_segments(
+    abs_poses: np.ndarray, kf_idx: np.ndarray, refined_kf: np.ndarray
+) -> np.ndarray:
+    """Propagate keyframe corrections to in-between frames:
+    abs_i <- abs_i @ inv(abs_kf_old) @ abs_kf_new for i in each keyframe's
+    trailing segment (rigid attachment of the segment to its keyframe)."""
+    refined = np.asarray(abs_poses, np.float64).copy()
     refined[kf_idx] = refined_kf
     for s in range(len(kf_idx)):
         k0 = kf_idx[s]
@@ -111,4 +121,110 @@ def refine_trajectory(
         corr = np.linalg.inv(abs_poses[k0]) @ refined_kf[s]
         for i in range(k0 + 1, k1):
             refined[i] = abs_poses[i] @ corr
-    return refined, info
+    return refined
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphRefineConfig:
+    kf: keyframes.KeyframeConfig = keyframes.KeyframeConfig()
+    lc: loop_closure.LoopClosureConfig = loop_closure.LoopClosureConfig()
+    pg: pose_graph.PoseGraphConfig = pose_graph.PoseGraphConfig(iters=15)
+    n_keypoints: int = 512
+    fast_threshold: float = 20.0
+    # Confidence weighting: a sequential edge whose underlying frame pairs
+    # all had LIVE marker scale is trusted; held-scale spans carry the
+    # monocular scale uncertainty, so the optimiser should place loop-closure
+    # corrections there (weight ratio ~ inverse variance ratio).
+    seq_weight_live: float = 1.0
+    seq_weight_held: float = 0.05
+    # Scale-free loop edges (|t| only trajectory-implied, i.e. copied from
+    # the very estimate being corrected) get a small fraction of the metric
+    # loop-edge weight: their rotation is trustworthy, their translation
+    # magnitude is not.
+    loop_weight_scale_free: float = 0.15
+
+
+def pose_graph_trajectory(
+    frames: jax.Array,  # (N, H, W) float frames (undistorted)
+    abs_poses: np.ndarray,  # (N, 4, 4) VO absolute poses (cTm)
+    n_inliers: np.ndarray,  # (N-1,)
+    marker_corners: np.ndarray,  # (N, 4, 2) undistorted corners (NaN absent)
+    marker_present: np.ndarray,  # (N,)
+    K: jax.Array,
+    real_marker_length: float,
+    vo_cfg,
+    cfg: PoseGraphRefineConfig = None,
+    pair_scale_ok: np.ndarray | None = None,  # (N-1,) live-marker-scale bits
+) -> tuple[np.ndarray, dict]:
+    """BASELINE config #4: keyframes -> loop-closure retrieval/verification ->
+    pose-graph optimisation -> trajectory correction.
+
+    The graph's nodes are mTc = inv(cTm) keyframe poses; sequential edges are
+    the current keyframe-to-keyframe rels (zero residual by construction);
+    loop edges contradict accumulated drift and the optimiser redistributes
+    it along the chain (drift oracle anchor: traj_eval_ground_truth.py:279-298).
+    """
+    cfg = cfg or PoseGraphRefineConfig()
+    abs_poses = np.asarray(abs_poses, np.float64)
+    kf_mask = keyframes.select_keyframes(abs_poses, np.asarray(n_inliers), cfg.kf)
+    # Force keyframes at marker-run boundaries: loop edges between
+    # marker-bearing keyframes carry METRIC scale (scale_ok), which is what
+    # actually corrects scale drift — a keyframe set that skips every
+    # marker-bearing frame can only produce scale-free edges.
+    mp = np.asarray(marker_present, bool)
+    if mp.any():
+        d = np.diff(mp.astype(np.int8))
+        kf_mask[np.flatnonzero(d == 1) + 1] = True  # run starts
+        kf_mask[np.flatnonzero(d == -1)] = True  # run ends
+        kf_mask[0] |= mp[0]
+        kf_mask[-1] |= mp[-1]
+    kf_idx = np.where(kf_mask)[0]
+    info: dict = {"n_keyframes": len(kf_idx), "n_loop_edges": 0}
+    if len(kf_idx) < cfg.lc.min_gap + 2:
+        return abs_poses.copy(), info
+
+    feats = detect_and_describe_batch(
+        frames[jnp.asarray(kf_idx)], k=cfg.n_keypoints, threshold=cfg.fast_threshold
+    )
+    edges = loop_closure.find_loop_closures(
+        feats,
+        abs_poses[kf_idx],
+        np.asarray(marker_corners)[kf_idx],
+        np.asarray(marker_present)[kf_idx],
+        K,
+        real_marker_length,
+        vo_cfg,
+        cfg.lc,
+    )
+    info["n_loop_edges"] = int(len(edges.i))
+    info["loop_pairs"] = list(zip(edges.i.tolist(), edges.j.tolist()))
+    if len(edges.i) == 0:
+        return abs_poses.copy(), info
+
+    # Nodes: camera poses in the marker frame. Edge measurement convention
+    # (pose_graph): Z_ab = X_a^-1 X_b = cTm_a @ inv(cTm_b) = inv(rel_ab) for
+    # the VO rel_ab = cTm_b @ inv(cTm_a).
+    X = np.linalg.inv(abs_poses[kf_idx]).astype(np.float32)
+    graph = pose_graph.sequential_edges(jnp.asarray(X))
+
+    # Confidence-weight sequential edges: spans that ran on HELD scale are
+    # where monocular drift lives — down-weighting them makes the optimiser
+    # absorb loop-closure corrections there, not in marker-anchored spans.
+    if pair_scale_ok is not None:
+        seq_w = np.empty(len(kf_idx) - 1, np.float32)
+        for s in range(len(kf_idx) - 1):
+            span = pair_scale_ok[kf_idx[s] : kf_idx[s + 1]]
+            live = bool(np.all(span)) if len(span) else True
+            seq_w[s] = cfg.seq_weight_live if live else cfg.seq_weight_held
+        graph = graph._replace(edge_weight=jnp.asarray(seq_w))
+
+    loop_meas = jnp.asarray(np.linalg.inv(edges.rel).astype(np.float32))
+    loop_w = np.where(
+        edges.scale_ok, cfg.lc.weight, cfg.lc.weight * cfg.loop_weight_scale_free
+    ).astype(np.float32)
+    graph = pose_graph.add_edges(graph, edges.i, edges.j, loop_meas, loop_w)
+    res = jax.jit(pose_graph.optimize, static_argnames="cfg")(graph, cfg.pg)
+    info["pg_initial_cost"] = float(res.initial_cost)
+    info["pg_final_cost"] = float(res.final_cost)
+    refined_kf = np.linalg.inv(np.asarray(res.poses, np.float64))
+    return reanchor_segments(abs_poses, kf_idx, refined_kf), info

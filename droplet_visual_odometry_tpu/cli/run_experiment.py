@@ -28,16 +28,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default=None, help="directory for the six TUM streams")
     p.add_argument("--match-mode", default="crosscheck", choices=["crosscheck", "ratio"],
                    help="matching mode (reference 'orb' vs SIFT/KNN ratio modes)")
-    p.add_argument("--frontend", default="orb", choices=["orb", "sift"],
-                   help="feature family: FAST+binary or DoG+float (v3:93-107)")
+    p.add_argument("--frontend", default="orb", choices=["orb", "sift", "surf"],
+                   help="feature family — the reference's mode switch (v3:93-107)")
     p.add_argument("--keypoints", type=int, default=512)
     p.add_argument("--fast-threshold", type=float, default=20.0)
+    p.add_argument("--n-levels", type=int, default=4,
+                   help="ORB pyramid levels (1 = single-scale)")
+    p.add_argument("--scale-factor", type=float, default=1.32,
+                   help="ORB pyramid level ratio")
     p.add_argument("--ransac-hypotheses", type=int, default=1024)
     p.add_argument("--ransac-threshold-px", type=float, default=1.0)
     p.add_argument("--scale-side", default="mean", choices=["mean", "reference"])
+    p.add_argument("--scale-mode", default="marker", choices=["marker", "hold"],
+                   help="metric scale: per-pair marker (1.0 fallback) or hold-last-live")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", default="none", choices=["none", "ba"],
-                   help="trajectory refinement: windowed keyframe BA")
+    p.add_argument("--backend", default="none", choices=["none", "ba", "pose_graph"],
+                   help="trajectory refinement: windowed keyframe BA, or "
+                   "loop-closure pose graph (BASELINE configs #3/#4)")
     p.add_argument("--checkpoint", default=None,
                    help="npz path for chunked checkpoint/resume of long runs")
     p.add_argument("--checkpoint-chunk", type=int, default=256)
@@ -95,12 +102,15 @@ def main(argv=None) -> int:
             n_keypoints=args.keypoints,
             frontend=args.frontend,
             fast_threshold=args.fast_threshold,
+            n_levels=args.n_levels,
+            scale_factor=args.scale_factor,
             match_mode=args.match_mode,
             ransac=RansacConfig(
                 n_hypotheses=args.ransac_hypotheses,
                 threshold_px=args.ransac_threshold_px,
             ),
             scale_side=args.scale_side,
+            scale_mode=args.scale_mode,
         )
 
     import contextlib

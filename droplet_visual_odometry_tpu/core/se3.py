@@ -235,6 +235,29 @@ def inverse(T: jax.Array) -> jax.Array:
     return make_se3(Rt, -(Rt @ t[..., None])[..., 0])
 
 
+def adjoint(T: jax.Array) -> jax.Array:
+    """SE(3) adjoint (..., 6, 6) for [v, w]-ordered twists:
+    Adj(T) [v; w] = [R v + hat(t) R w; R w], i.e. [[R, hat(t)R], [0, R]].
+    Satisfies T exp(xi) T^-1 = exp(Adj(T) xi)."""
+    R = rotation(T)
+    tx = _hat(translation(T))
+    zero = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tx @ R], axis=-1)
+    bot = jnp.concatenate([zero, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def ad(xi: jax.Array) -> jax.Array:
+    """se(3) small adjoint (..., 6, 6) for [v, w] twists:
+    ad(xi) = [[hat(w), hat(v)], [0, hat(w)]]."""
+    vx = _hat(xi[..., :3])
+    wx = _hat(xi[..., 3:])
+    zero = jnp.zeros_like(wx)
+    top = jnp.concatenate([wx, vx], axis=-1)
+    bot = jnp.concatenate([zero, wx], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def compose(*Ts: jax.Array) -> jax.Array:
     """Chain 4x4 transforms left-to-right: compose(A, B, C) = A @ B @ C."""
     out = Ts[0]

@@ -38,6 +38,8 @@ class SyntheticConfig:
     marker_length: float = 0.2  # metres, side of the fiducial square
     orbit_radius: float = 2.0  # camera distance from the marker wall
     orbit_sweep: float = 0.5  # radians swept over the sequence ("clockwise" arc)
+    dolly: float = 0.0  # forward approach: radius shrinks by this much over the run
+    loop: bool = False  # out-and-back: trajectory returns to the start pose
     bob: float = 0.05  # vertical bobbing amplitude (metres)
     landmark_depth_range: tuple[float, float] = (1.2, 3.5)
     landmark_size: float = 0.05  # metres, landmark square side
@@ -62,15 +64,22 @@ def _look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
 def trajectory(cfg: SyntheticConfig) -> np.ndarray:
     """Smooth orbit facing the marker wall -> (N, 4, 4) wTc poses."""
     n = cfg.n_frames
-    angles = np.linspace(-cfg.orbit_sweep / 2, cfg.orbit_sweep / 2, n)
+    if cfg.loop:
+        # Smooth out-and-back (0 -> 1 -> 0 phase): the camera revisits its
+        # start pose — the loop-closure test trajectory.
+        phase = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.linspace(0.0, 1.0, n))
+    else:
+        phase = np.linspace(0.0, 1.0, n)
+    angles = -cfg.orbit_sweep / 2 + cfg.orbit_sweep * phase
+    radii = cfg.orbit_radius - cfg.dolly * phase
     poses = np.empty((n, 4, 4))
     target = np.array([0.0, 0.0, 0.0])
     for i, a in enumerate(angles):
         eye = np.array(
             [
-                cfg.orbit_radius * np.sin(a),
+                radii[i] * np.sin(a),
                 cfg.bob * np.sin(3.0 * a / max(cfg.orbit_sweep, 1e-6)),
-                -cfg.orbit_radius * np.cos(a),
+                -radii[i] * np.cos(a),
             ]
         )
         poses[i] = _look_at(eye, target, np.array([0.0, -1.0, 0.0]))
@@ -98,6 +107,19 @@ def _fill_convex_quad(img: np.ndarray, quad: np.ndarray, value: float) -> None:
         a, b = q[k], q[(k + 1) % 4]
         inside &= (b[0] - a[0]) * (vv - a[1]) - (b[1] - a[1]) * (uu - a[0]) >= 0
     img[v0:v1, u0:u1][inside] = value
+
+
+def _distort_np(xy: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """plumb_bob distortion on normalized coords (N, 2) — numpy twin of
+    core.camera.distort_normalized, so rendered geometry goes through the
+    same lens model the pipeline undistorts (v3:110-135 parity end-to-end)."""
+    k1, k2, p1, p2, k3 = dist[:5]
+    x, y = xy[:, 0], xy[:, 1]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return np.stack([xd, yd], axis=1)
 
 
 def marker_world_corners(marker_length: float) -> np.ndarray:
@@ -147,13 +169,16 @@ def render_sequence(cfg: SyntheticConfig | None = None) -> VOSequence:
     marker_poses = np.zeros((cfg.n_frames, 4, 4), np.float32)
     marker_present = np.zeros(cfg.n_frames, bool)
 
+    dist = np.asarray(cam.dist, np.float64)
+    has_dist = bool(np.any(dist))
+
     def project(cTw: np.ndarray, pts_w: np.ndarray):
         pc = pts_w @ cTw[:3, :3].T + cTw[:3, 3]
         z = pc[:, 2]
-        uv = (pc[:, :2] / np.maximum(z[:, None], 1e-6)) * [K[0, 0], K[1, 1]] + [
-            K[0, 2],
-            K[1, 2],
-        ]
+        xy = pc[:, :2] / np.maximum(z[:, None], 1e-6)
+        if has_dist:
+            xy = _distort_np(xy, dist)
+        uv = xy * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
         return uv, z
 
     for i in range(cfg.n_frames):

@@ -55,6 +55,27 @@ def marker_side_length(
     return jnp.mean(d)
 
 
+def scale_factor_with_valid(
+    K: jax.Array,
+    R: jax.Array,
+    t: jax.Array,
+    prev_corners_px: jax.Array,
+    curr_corners_px: jax.Array,
+    real_marker_length: float,
+    marker_valid: jax.Array,
+    side: str = "mean",
+    max_scale: float = 1e3,
+) -> tuple[jax.Array, jax.Array]:
+    """(scale, scale_ok): the factor plus whether it came from a live marker
+    triangulation (False -> the 1.0 fallback was used). The validity bit
+    feeds the sequence-level 'hold' scale mode (vo.py), which forward-fills
+    the last live scale through marker-absent stretches."""
+    measured = marker_side_length(K, R, t, prev_corners_px, curr_corners_px, side)
+    s = real_marker_length / jnp.maximum(measured, 1e-12)
+    good = marker_valid & jnp.isfinite(s) & (s > 0) & (s < max_scale)
+    return jnp.where(good, s, 1.0), good
+
+
 def scale_factor(
     K: jax.Array,
     R: jax.Array,
@@ -73,7 +94,15 @@ def scale_factor(
     behavior of the launch-processes variant, launch_processes:128-137) —
     the reference itself would crash here (SURVEY.md §7 degenerate cases).
     """
-    measured = marker_side_length(K, R, t, prev_corners_px, curr_corners_px, side)
-    s = real_marker_length / jnp.maximum(measured, 1e-12)
-    good = marker_valid & jnp.isfinite(s) & (s > 0) & (s < max_scale)
-    return jnp.where(good, s, 1.0)
+    s, _ = scale_factor_with_valid(
+        K,
+        R,
+        t,
+        prev_corners_px,
+        curr_corners_px,
+        real_marker_length,
+        marker_valid,
+        side,
+        max_scale,
+    )
+    return s

@@ -40,22 +40,31 @@ from droplet_visual_odometry_tpu.frontend.orb import Features
 @dataclasses.dataclass(frozen=True)
 class VOConfig:
     n_keypoints: int = 512
-    frontend: str = "orb"  # 'orb' (FAST+binary) | 'sift' (DoG+float) — v3:93-107 mode switch
+    frontend: str = "orb"  # 'orb'|'sift'|'surf' — v3:93-107 mode switch
     fast_threshold: float = 20.0
     fast_arc_length: int = 9
-    dog_threshold: float = 1.0  # 'sift' frontend blob threshold
+    dog_threshold: float = 1.0  # 'sift'/'surf' frontend blob threshold
+    n_levels: int = 4  # pyramid levels ('orb'); 1 = single-scale
+    scale_factor: float = 1.32  # pyramid level ratio (cv.ORB uses 1.2 x 8)
     match_mode: str = "crosscheck"  # 'crosscheck' (ref 'orb') | 'ratio' (ref SIFT modes)
     ratio: float = 0.75
     ransac: RansacConfig = RansacConfig()
     min_matches: int = 12
     scale_side: str = "mean"  # 'mean' | 'reference' (single-side parity)
+    # 'marker': per-pair marker scale, 1.0 fallback when absent (reference
+    # behavior, v3:318-326). 'hold': forward-fill the last live marker scale
+    # through marker-absent stretches (monocular scale cannot be re-derived
+    # without the fiducial; holding it is the sane prior for smooth motion).
+    scale_mode: str = "marker"
 
 
 class VOStepResult(NamedTuple):
     rel: jax.Array  # (4, 4) scaled curr_T_prev (identity when degenerate)
+    rel_unit: jax.Array  # (4, 4) same pose with UNIT-norm translation
     n_matches: jax.Array  # () int32
     n_inliers: jax.Array  # () int32
     scale: jax.Array  # () float32
+    scale_ok: jax.Array  # () bool — scale came from a live marker triangulation
     ok: jax.Array  # () bool — enough matches/inliers to trust the step
 
 
@@ -90,7 +99,7 @@ def two_frame_vo(
 
     R, t_unit, res = ransac_pose(key, p_prev, p_curr, valid, K, cfg.ransac)
 
-    s = scale_mod.scale_factor(
+    s, s_ok = scale_mod.scale_factor_with_valid(
         K,
         R,
         t_unit,
@@ -101,14 +110,19 @@ def two_frame_vo(
         side=cfg.scale_side,
     )
     rel = se3.make_se3(R, t_unit * s)
+    rel_unit = se3.make_se3(R, t_unit)
 
     ok = (n_matches >= cfg.min_matches) & (res.n_inliers >= cfg.ransac.sample_size)
-    rel = jnp.where(ok, rel, jnp.eye(4, dtype=rel.dtype))
+    eye = jnp.eye(4, dtype=rel.dtype)
+    rel = jnp.where(ok, rel, eye)
+    rel_unit = jnp.where(ok, rel_unit, eye)
     return VOStepResult(
         rel=rel,
+        rel_unit=rel_unit,
         n_matches=n_matches,
         n_inliers=res.n_inliers,
         scale=s,
+        scale_ok=s_ok & ok,
         ok=ok,
     )
 
@@ -120,7 +134,8 @@ class VOTrajectory(NamedTuple):
     rel_poses: jax.Array  # (N-1, 4, 4)
     n_matches: jax.Array  # (N-1,)
     n_inliers: jax.Array  # (N-1,)
-    scales: jax.Array  # (N-1,)
+    scales: jax.Array  # (N-1,) applied scale (post-fill in 'hold' mode)
+    scale_ok: jax.Array  # (N-1,) pair had a LIVE marker scale (pre-fill)
     ok: jax.Array  # (N-1,)
 
 
@@ -134,8 +149,14 @@ def run_sequence(
     K: jax.Array,
     real_marker_length: float,
     cfg: VOConfig = VOConfig(),
+    init_scale: jax.Array | float = 1.0,
+    init_scale_seen: jax.Array | bool = False,
 ) -> VOTrajectory:
     """Frame-sequential VO over a whole sequence as one compiled program.
+
+    init_scale/init_scale_seen: carry for scale_mode='hold' across chunked
+    runs (utils/checkpoint.py) — the last held scale of the previous chunk
+    and whether any live scale has been seen yet.
 
     Structure: the frontend runs ONCE for the whole batch of frames (large
     fused kernels / big MXU ops); the per-pair stage (match + RANSAC + scale)
@@ -153,6 +174,8 @@ def run_sequence(
         arc_length=cfg.fast_arc_length,
         mode=cfg.frontend,
         dog_threshold=cfg.dog_threshold,
+        n_levels=cfg.n_levels if cfg.frontend == "orb" else 1,
+        scale_factor=cfg.scale_factor,
     )
     feats_prev = jax.tree_util.tree_map(lambda a: a[:-1], all_feats)
     feats_curr = jax.tree_util.tree_map(lambda a: a[1:], all_feats)
@@ -171,14 +194,34 @@ def run_sequence(
         marker_present[:-1] & marker_present[1:],
     )
 
+    if cfg.scale_mode == "hold":
+        # Forward-fill the last LIVE marker scale (associative "last valid"
+        # scan, seeded by the chunk carry; 1.0 until the first live scale),
+        # then rebuild the scaled rels from the unit-translation poses.
+        def last_valid(a, b):
+            return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+
+        s_seed = jnp.concatenate(
+            [jnp.asarray(init_scale, jnp.float32).reshape(1), res.scale]
+        )
+        v_seed = jnp.concatenate(
+            [jnp.asarray(init_scale_seen, bool).reshape(1), res.scale_ok]
+        )
+        filled, _ = jax.lax.associative_scan(last_valid, (s_seed, v_seed))
+        scales = filled[1:]
+        rels = res.rel_unit.at[:, :3, 3].multiply(scales[:, None])
+    elif cfg.scale_mode == "marker":
+        scales = res.scale
+        rels = res.rel
+    else:
+        raise ValueError(f"unknown scale_mode: {cfg.scale_mode}")
+
     init_pose = init_pose.astype(jnp.float32)
-    chain = jnp.concatenate([init_pose[None], res.rel], axis=0)
+    chain = jnp.concatenate([init_pose[None], rels], axis=0)
     abs_poses = jax.lax.associative_scan(lambda a, b: b @ a, chain)
-    rels, n_matches, n_inliers, scales, ok = (
-        res.rel,
+    n_matches, n_inliers, ok = (
         res.n_matches,
         res.n_inliers,
-        res.scale,
         res.ok,
     )
     return VOTrajectory(
@@ -187,5 +230,6 @@ def run_sequence(
         n_matches=n_matches,
         n_inliers=n_inliers,
         scales=scales,
+        scale_ok=res.scale_ok,
         ok=ok,
     )

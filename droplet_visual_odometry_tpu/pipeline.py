@@ -35,6 +35,7 @@ class ExperimentResult:
     ate: metrics.ATEResult
     rpe: metrics.RPEResult
     stream_paths: dict[str, str] | None = None
+    backend_info: dict | None = None
 
 
 def preprocess_frames(seq: VOSequence) -> jnp.ndarray:
@@ -56,6 +57,25 @@ def effective_K(seq: VOSequence) -> np.ndarray:
     if not np.any(dist):
         return np.asarray(seq.camera.K)
     return camera_mod.optimal_new_camera_matrix(seq.camera, alpha=1.0)
+
+
+def effective_marker_corners(seq: VOSequence, new_K: np.ndarray) -> np.ndarray:
+    """Marker corners in the SAME pixel space as the preprocessed frames.
+
+    The sequence stores corners as detected on the raw (distorted) frames;
+    once frames are undistorted under new_K (preprocess_frames), the corners
+    must be undistorted too or scale triangulation (scale.py) runs on
+    inconsistent geometry. NaN (marker-absent) entries stay NaN."""
+    corners = np.asarray(seq.marker_corners, np.float32)
+    if not np.any(np.asarray(seq.camera.dist)):
+        return corners
+    und = np.asarray(
+        camera_mod.undistort_points(
+            jnp.asarray(np.nan_to_num(corners)), seq.camera, new_K=jnp.asarray(new_K)
+        ),
+        np.float32,
+    )
+    return np.where(np.isnan(corners), np.nan, und)
 
 
 def gt_streams(seq: VOSequence) -> tuple[np.ndarray, np.ndarray]:
@@ -84,6 +104,7 @@ def run_experiment(
     adjustment (BASELINE config #3)."""
     frames = preprocess_frames(seq)
     K = jnp.asarray(effective_K(seq), jnp.float32)
+    corners = effective_marker_corners(seq, np.asarray(K))
 
     # Seed VO from the first marker pose (dual_process:102-117).
     first = int(np.argmax(seq.marker_present)) if seq.marker_present.any() else 0
@@ -95,7 +116,7 @@ def run_experiment(
         traj = run_sequence_checkpointed(
             jax.random.PRNGKey(seed),
             np.asarray(frames),
-            np.asarray(seq.marker_corners),
+            corners,
             np.asarray(seq.marker_present),
             np.asarray(init_pose),
             np.asarray(K),
@@ -108,7 +129,7 @@ def run_experiment(
         traj = run_sequence(
             jax.random.PRNGKey(seed),
             frames,
-            jnp.asarray(seq.marker_corners),
+            jnp.asarray(corners),
             jnp.asarray(seq.marker_present),
             init_pose,
             K,
@@ -120,15 +141,42 @@ def run_experiment(
     gt_abs, gt_rel = gt_streams(seq)
     vo_abs = np.asarray(traj.abs_poses, np.float64)
 
+    # Anchor at the first marker-bearing frame (dual_process:170-198 starts at
+    # the first valid pair). run_sequence seeds index 0; with left-chaining
+    # abs_i = C_i @ abs_0, re-anchoring so abs_first == init_pose is the
+    # right-multiplication abs_i <- abs_i @ inv(abs_first) @ init_pose.
+    if first > 0:
+        corr = np.linalg.inv(vo_abs[first]) @ np.asarray(init_pose, np.float64)
+        vo_abs = vo_abs @ corr
+
+    backend_info: dict = {}
     if backend == "ba":
         from droplet_visual_odometry_tpu.backend.refine import RefineConfig, refine_trajectory
 
-        vo_abs, _ = refine_trajectory(
+        vo_abs, backend_info = refine_trajectory(
             frames,
             vo_abs,
             np.asarray(traj.n_inliers),
             K,
             refine_cfg or RefineConfig(),
+        )
+    elif backend == "pose_graph":
+        from droplet_visual_odometry_tpu.backend.refine import (
+            PoseGraphRefineConfig,
+            pose_graph_trajectory,
+        )
+
+        vo_abs, backend_info = pose_graph_trajectory(
+            frames,
+            vo_abs,
+            np.asarray(traj.n_inliers),
+            corners,
+            np.asarray(seq.marker_present),
+            K,
+            seq.real_marker_length,
+            cfg,
+            refine_cfg or PoseGraphRefineConfig(),
+            pair_scale_ok=np.asarray(traj.scale_ok),
         )
     elif backend != "none":
         raise ValueError(f"unknown backend: {backend}")
@@ -166,4 +214,5 @@ def run_experiment(
         ate=ate,
         rpe=rpe,
         stream_paths=paths,
+        backend_info=backend_info,
     )

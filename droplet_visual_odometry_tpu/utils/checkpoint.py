@@ -25,7 +25,7 @@ import numpy as np
 
 from droplet_visual_odometry_tpu.estimation.vo import VOConfig, VOTrajectory, run_sequence
 
-_FIELDS = ("abs_poses", "rel_poses", "n_matches", "n_inliers", "scales", "ok")
+_FIELDS = ("abs_poses", "rel_poses", "n_matches", "n_inliers", "scales", "scale_ok", "ok")
 
 
 def save_state(path: str, state: dict[str, np.ndarray]) -> None:
@@ -79,10 +79,14 @@ def run_sequence_checkpointed(
         start = int(state["next_start"])
         acc = {f: [state[f]] for f in _FIELDS}
         abs_last = state["abs_last"]
+        scale_last = float(state.get("scale_last", 1.0))
+        scale_seen = bool(state.get("scale_seen", False))
     else:
         start = 1  # next pair's current-frame index
         acc = {f: [] for f in _FIELDS}
         abs_last = np.asarray(init_pose, np.float32)
+        scale_last = 1.0
+        scale_seen = False
 
     while start < n:
         stop = min(start + chunk, n)
@@ -97,6 +101,8 @@ def run_sequence_checkpointed(
             jnp.asarray(K, jnp.float32),
             real_marker_length,
             cfg,
+            init_scale=jnp.asarray(scale_last, jnp.float32),
+            init_scale_seen=jnp.asarray(scale_seen),
         )
         traj = jax.device_get(traj)
         # abs_poses[0] repeats the carry-in pose; keep only the new frames.
@@ -105,8 +111,11 @@ def run_sequence_checkpointed(
         acc["n_matches"].append(np.asarray(traj.n_matches))
         acc["n_inliers"].append(np.asarray(traj.n_inliers))
         acc["scales"].append(np.asarray(traj.scales))
+        acc["scale_ok"].append(np.asarray(traj.scale_ok))
         acc["ok"].append(np.asarray(traj.ok))
         abs_last = np.asarray(traj.abs_poses[-1])
+        scale_last = float(traj.scales[-1])
+        scale_seen = scale_seen or bool(np.any(traj.scale_ok))
         start = stop
         save_state(
             path,
@@ -115,6 +124,8 @@ def run_sequence_checkpointed(
                 "chunk": np.asarray(chunk),
                 "next_start": np.asarray(start),
                 "abs_last": abs_last,
+                "scale_last": np.asarray(scale_last),
+                "scale_seen": np.asarray(scale_seen),
                 "key": np.asarray(key),
                 **{f: np.concatenate(acc[f], axis=0) for f in _FIELDS},
             },
@@ -128,5 +139,6 @@ def run_sequence_checkpointed(
         n_matches=out["n_matches"],
         n_inliers=out["n_inliers"],
         scales=out["scales"],
+        scale_ok=out["scale_ok"],
         ok=out["ok"],
     )

@@ -28,7 +28,7 @@ class ExperimentConfig:
     real_marker_length: float = 0.2  # metres (dual_process argv 5)
     calibration: str = ""  # camera yaml ('' -> sequence-embedded intrinsics)
     controlled: bool = False  # calibration schema switch (v3:145-167)
-    backend: str = "none"  # 'none' | 'ba'
+    backend: str = "none"  # 'none' | 'ba' | 'pose_graph'
     seed: int = 0
     checkpoint_path: str = ""  # '' disables checkpointing
     checkpoint_every: int = 0  # frames between checkpoints (0 = chunk only)

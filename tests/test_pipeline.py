@@ -86,15 +86,99 @@ class TestSequenceVO:
         np.testing.assert_array_equal(a.vo_abs, b.vo_abs)
 
 
+class TestDistortedCamera:
+    """End-to-end run on a camera WITH plumb_bob distortion: the renderer
+    projects through the lens model, the pipeline undistorts frames AND marker
+    corners (effective_marker_corners), and accuracy must match the
+    undistorted run (reference path v3:110-135)."""
+
+    @pytest.fixture(scope="class")
+    def dist_result(self):
+        dseq = synthetic.render_sequence(
+            synthetic.SyntheticConfig(
+                n_frames=30,
+                width=640,
+                height=480,
+                n_landmarks=350,
+                distortion=np.array([-0.26, 0.07, 1e-4, -2e-4, 0.0]),
+            )
+        )
+        return pipeline.run_experiment(dseq, VOConfig()), dseq
+
+    def test_ate_bound_distorted(self, dist_result):
+        result, _ = dist_result
+        assert result.ate.rmse < 0.08, result.ate
+
+    def test_metric_scale_under_distortion(self, dist_result):
+        """The Weak-#4 failure mode: distorted corners triangulated under the
+        undistorted K give a wrong metric scale. With corners undistorted the
+        VO step lengths must match GT step lengths."""
+        result, _ = dist_result
+        gt_cam = np.linalg.inv(result.gt_abs)
+        vo_cam = np.linalg.inv(result.vo_abs)
+        gt_step = np.linalg.norm(np.diff(gt_cam[:, :3, 3], axis=0), axis=1)
+        vo_step = np.linalg.norm(np.diff(vo_cam[:, :3, 3], axis=0), axis=1)
+        ratio = vo_step / np.maximum(gt_step, 1e-9)
+        assert 0.9 < np.median(ratio) < 1.1, np.percentile(ratio, [10, 50, 90])
+
+    def test_corners_actually_distorted(self, dist_result):
+        """Renderer sanity: recorded corners differ from the pinhole projection
+        (i.e. the lens model is actually applied)."""
+        _, dseq = dist_result
+        und = pipeline.effective_marker_corners(
+            dseq, pipeline.effective_K(dseq)
+        )
+        raw = np.asarray(dseq.marker_corners)
+        ok = dseq.marker_present
+        delta = np.nanmax(np.abs(und[ok] - raw[ok]))
+        assert delta > 1.0, delta  # pixels
+
+
+class TestMarkerAppearsLate:
+    """Marker first seen at frame k>0: the trajectory must be anchored at the
+    first marker-bearing frame (dual_process:170-198), not at frame 0."""
+
+    def test_anchor_at_first_marker_frame(self, seq):
+        import dataclasses as _dc
+
+        k0 = 6
+        late = _dc.replace(
+            seq,
+            marker_present=np.concatenate(
+                [np.zeros(k0, bool), seq.marker_present[k0:]]
+            ),
+            marker_corners=np.concatenate(
+                [np.full((k0, 4, 2), np.nan, np.float32), seq.marker_corners[k0:]]
+            ),
+        )
+        res = pipeline.run_experiment(late, VOConfig())
+        np.testing.assert_allclose(
+            res.vo_abs[k0], np.asarray(seq.marker_poses[k0], np.float64), atol=1e-5
+        )
+        assert res.ate.rmse < 0.06, res.ate
+
+
 class TestTwoFrameVO:
-    def test_two_frame_relative_pose(self, seq):
+    @pytest.mark.parametrize(
+        "n_levels,t_bound,ang_bound",
+        [
+            # Single-scale geometry-core precision: all 512 keypoints at level
+            # 0, tightest bound (the pre-pyramid round-1 behavior).
+            (1, 0.010, 0.5),
+            # Default pyramid config: level 0 keeps only ~36% of the budget,
+            # so single-pair precision is measurably looser — the price of
+            # scale robustness (TestPyramidScaleInvariance is the payoff).
+            (4, 0.020, 0.5),
+        ],
+    )
+    def test_two_frame_relative_pose(self, seq, n_levels, t_bound, ang_bound):
         """BASELINE config #1: single-pair relative pose vs analytic GT."""
         from droplet_visual_odometry_tpu.estimation.vo import two_frame_vo
         from droplet_visual_odometry_tpu.frontend.features import detect_and_describe
 
         i = 10
-        fa = detect_and_describe(jnp.asarray(seq.frames[i], jnp.float32))
-        fb = detect_and_describe(jnp.asarray(seq.frames[i + 1], jnp.float32))
+        fa = detect_and_describe(jnp.asarray(seq.frames[i], jnp.float32), n_levels=n_levels)
+        fb = detect_and_describe(jnp.asarray(seq.frames[i + 1], jnp.float32), n_levels=n_levels)
         res = two_frame_vo(
             jax.random.PRNGKey(0),
             fa,
@@ -104,7 +188,7 @@ class TestTwoFrameVO:
             jnp.asarray(True),
             jnp.asarray(seq.camera.K),
             seq.real_marker_length,
-            VOConfig(),
+            VOConfig(n_levels=n_levels),
         )
         assert bool(res.ok)
         rel_est = np.asarray(res.rel)
@@ -114,10 +198,10 @@ class TestTwoFrameVO:
         # rotation error
         dR = rel_est[:3, :3].T @ rel_gt[:3, :3]
         ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
-        assert ang < 0.5, ang
+        assert ang < ang_bound, ang
         # translation error (metric, after marker scaling)
         t_err = np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
-        assert t_err < 0.01, (t_err, rel_est[:3, 3], rel_gt[:3, 3])
+        assert t_err < t_bound, (t_err, rel_est[:3, 3], rel_gt[:3, 3])
 
     def test_degenerate_pair_returns_identity(self, seq):
         """Too few matches (blank frame) -> identity rel, ok=False — the case
