@@ -64,3 +64,39 @@ def test_sharded_pair_vo_matches_single_device():
 
     # Output really is sharded over the mesh.
     assert len(multi_dev.sharding.device_set) == 8
+
+
+def test_launch_initialize_single_process_noop(monkeypatch):
+    from droplet_visual_odometry_tpu.parallel import launch
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert launch.initialize() is False
+    assert launch.is_coordinator()
+    assert launch.global_mesh().devices.size == 8
+
+
+def test_scaling_harness_pair_vo():
+    """The north-star measurement harness runs end-to-end and reports sane
+    numbers (efficiency is meaningless on a virtual CPU mesh with 2 physical
+    cores — this validates the machinery, not the scaling)."""
+    from droplet_visual_odometry_tpu.parallel import launch
+
+    pts = launch.measure_scaling_pair_vo(
+        device_counts=[1, 2], pairs_per_device=1, reps=1
+    )
+    assert [p.n_devices for p in pts] == [1, 2]
+    assert all(p.throughput > 0 and np.isfinite(p.seconds) for p in pts)
+    assert pts[0].efficiency == 1.0
+    report = launch.format_report("pair_vo", pts)
+    assert "eff=" in report
+
+
+def test_scaling_harness_ba():
+    from droplet_visual_odometry_tpu.parallel import launch
+
+    pts = launch.measure_scaling_ba(
+        device_counts=[1, 2], landmarks_per_device=32, n_poses=3, iters=2, reps=1
+    )
+    assert [p.n_devices for p in pts] == [1, 2]
+    assert all(p.throughput > 0 for p in pts)
