@@ -133,6 +133,134 @@ def bench_ours(seq) -> float:
     return (len(seq) - 1) / dt
 
 
+def bench_stages(seq) -> None:
+    """Per-stage attribution of the VO pipeline at bench shapes, printed to
+    stderr (the stdout contract stays ONE JSON line). Each stage runs as its
+    own jitted program with device-synchronised walls (utils.profiling), plus
+    a roofline note: achieved HBM GB/s for bandwidth-bound stages and MXU
+    FLOP/s for the descriptor matmul, vs TPU v5e peaks (~819 GB/s, ~197
+    TFLOP/s bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from droplet_visual_odometry_tpu import ops
+    from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig, ransac_pose
+    from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+    from droplet_visual_odometry_tpu.frontend import fast, filters, matcher, orb
+    from droplet_visual_odometry_tpu.frontend.features import (
+        detect_and_describe_batch,
+        level_budgets,
+        level_shapes,
+    )
+    from droplet_visual_odometry_tpu.utils.profiling import StageTimes
+
+    cfg = VOConfig()
+    frames = jnp.asarray(seq.frames, jnp.float32)
+    n, h, w = frames.shape
+    shapes = level_shapes(h, w, cfg.n_levels, cfg.scale_factor)
+    budgets = level_budgets(cfg.n_keypoints, cfg.n_levels, cfg.scale_factor)
+    times = StageTimes()
+    reps = 5
+
+    # Build per-level images once (resize timed separately).
+    def run_resize(imgs):
+        levels = [imgs]
+        for l in range(1, cfg.n_levels):
+            levels.append(filters.resize_bilinear(levels[-1], *shapes[l]))
+        return levels
+
+    jit_resize = jax.jit(run_resize)
+    levels = jax.block_until_ready(jit_resize(frames))
+    with times.stage("resize(pyramid)"):
+        for _ in range(reps):
+            levels = jit_resize(frames)
+        jax.block_until_ready(levels)
+
+    if ops.pallas_enabled():
+        from droplet_visual_odometry_tpu.ops.pallas_fast import fast_score_pallas_batch
+
+        score_fn = lambda im: fast_score_pallas_batch(im, cfg.fast_threshold, cfg.fast_arc_length)
+    else:
+        score_fn = jax.jit(
+            jax.vmap(lambda f: fast.fast_score(f, cfg.fast_threshold, cfg.fast_arc_length))
+        )
+    scores = [jax.block_until_ready(score_fn(li)) for li in levels]
+    with times.stage("fast_score"):
+        for _ in range(reps):
+            scores = [score_fn(li) for li in levels]
+        jax.block_until_ready(scores)
+
+    topk_fns = [
+        jax.jit(jax.vmap(lambda s, k=k: fast.select_topk_tiled(fast.nms3x3(s), k)))
+        for k in budgets
+    ]
+    kps = [jax.block_until_ready(f(s)) for f, s in zip(topk_fns, scores)]
+    with times.stage("nms+topk"):
+        for _ in range(reps):
+            kps = [f(s) for f, s in zip(topk_fns, scores)]
+        jax.block_until_ready(kps)
+
+    blur_fn = jax.jit(lambda im: filters.gaussian_blur(im, sigma=2.0, radius=4))
+    blurs = [jax.block_until_ready(blur_fn(li)) for li in levels]
+    with times.stage("blur"):
+        for _ in range(reps):
+            blurs = [blur_fn(li) for li in levels]
+        jax.block_until_ready(blurs)
+
+    desc_fn = jax.jit(orb.describe_batch)
+    descs = [jax.block_until_ready(desc_fn(b, kp.xy)) for b, kp in zip(blurs, kps)]
+    with times.stage("describe(patch+mm+pack)"):
+        for _ in range(reps):
+            descs = [desc_fn(b, kp.xy) for b, kp in zip(blurs, kps)]
+        jax.block_until_ready(descs)
+
+    feats = jax.block_until_ready(detect_and_describe_batch(frames, k=cfg.n_keypoints))
+    desc_a, desc_b = feats.desc[:-1], feats.desc[1:]
+    va, vb = feats.valid[:-1], feats.valid[1:]
+    match_fn = jax.jit(
+        jax.vmap(lambda a, b, x, y: matcher.match(a, b, x, y, mode=cfg.match_mode))
+    )
+    m = jax.block_until_ready(match_fn(desc_a, desc_b, va, vb))
+    with times.stage("match"):
+        for _ in range(reps):
+            m = match_fn(desc_a, desc_b, va, vb)
+        jax.block_until_ready(m)
+
+    pts_b = jnp.take_along_axis(feats.xy[1:], m.idx[..., None], axis=1)
+    K = jnp.asarray(seq.camera.K, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), n - 1)
+    rs_fn = jax.jit(
+        jax.vmap(lambda k, pa, pb, v: ransac_pose(k, pa, pb, v, K, RansacConfig()))
+    )
+    rs = jax.block_until_ready(rs_fn(keys, feats.xy[:-1], pts_b, m.valid))
+    with times.stage("ransac"):
+        for _ in range(reps):
+            rs = rs_fn(keys, feats.xy[:-1], pts_b, m.valid)
+        jax.block_until_ready(rs)
+
+    rep = times.report()
+    per_frame = {k: v["total_s"] / reps / n * 1e3 for k, v in rep.items()}
+    total = sum(per_frame.values())
+    print("\n== per-stage breakdown (ms/frame, 1440x1080, K=512, pyramid 4x1.32) ==", file=sys.stderr)
+    for k in sorted(per_frame, key=per_frame.get, reverse=True):
+        print(f"  {k:<26s} {per_frame[k]:7.3f} ms  ({100*per_frame[k]/total:4.1f}%)", file=sys.stderr)
+    print(f"  {'TOTAL (stages)':<26s} {total:7.3f} ms", file=sys.stderr)
+
+    # Roofline notes.
+    lvl_px = sum(hh * ww for hh, ww in shapes)
+    fs = rep["fast_score"]["total_s"] / reps
+    gbs = n * lvl_px * 4 * 2 / fs / 1e9  # read + write once per pixel
+    nk = n * cfg.n_keypoints
+    dm = rep["describe(patch+mm+pack)"]["total_s"] / reps
+    flops = 2 * 2 * nk * (orb.PATCH**2) * (2 + orb.ANGLE_BINS * orb.N_BITS)
+    print(
+        f"  roofline: fast_score {gbs:.0f} GB/s of ~819 peak; "
+        f"describe stage >= {flops/dm/1e12:.1f} TFLOP/s of ~197 bf16 peak "
+        f"(matmul only; patch DMA + pack included in wall)",
+        file=sys.stderr,
+    )
+
+
 def main() -> int:
     device_ok = probe_device()
     if not device_ok:
@@ -142,6 +270,8 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
     seq = build_sequence()
+    if "--stages" in sys.argv:
+        bench_stages(seq)
     ref_fps = bench_reference_cpu(seq)
     ours_fps = bench_ours(seq)
     import jax
