@@ -7,7 +7,11 @@ dependency:
     (utilities_folder/traj_eval_unit_vis_odom.py:23-34,
     back_up_files/frame_extraction.py) with marker data carried alongside;
   * raw arrays: a single .npz with frames/timestamps/marker arrays, e.g.
-    produced by an offline rosbag exporter on a ROS machine.
+    produced by an offline rosbag exporter on a ROS machine;
+  * a recorded `.bag` directly: the pure-Python ROS1 bag reader
+    (data/rosbag.py) decodes the image + marker topics with a generic
+    message deserializer — no ROS install needed (the reference's
+    rosbag.Bag path, get_valid_message_stream.py:25-29).
 
 Pairing: image and marker streams are intersected on exactly-equal timestamps
 (get_valid_message_stream.py:39-53 semantics) using the native merge-join when
@@ -69,9 +73,16 @@ def main(argv=None) -> int:
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--images", help="directory of frame images (.jpg/.png/.npy)")
     src.add_argument("--raw", help=".npz with frames (N,H,W) u8 + timestamps (N,) f64")
+    src.add_argument("--bag", help="ROS1 .bag file (read without ROS, data/rosbag.py)")
+    p.add_argument("--image-topic", default="/camera_array/cam1/image_raw/compressed",
+                   help="bag image topic (reference default, get_valid_message_stream.py:29)")
+    p.add_argument("--marker-topic", default="/stag_markers",
+                   help="bag marker-detections topic")
     p.add_argument("--stamps-from-names", action="store_true",
                    help="parse frame timestamps from file names (e.g. 1690312345.123456.jpg)")
-    p.add_argument("--detections", required=True, help="marker detections .npz (see module docstring)")
+    p.add_argument("--detections", default=None,
+                   help="marker detections .npz (see module docstring); "
+                   "required unless --bag (bags carry the marker topic)")
     p.add_argument("--calibration", required=True, help="camera yaml (reference schema, v3:145-167)")
     p.add_argument("--controlled", action="store_true", help="calibration schema switch")
     p.add_argument("--marker-id", type=int, required=True)
@@ -81,27 +92,43 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, help="output VOSequence .npz")
     p.add_argument("--vostore", default=None, help="also write a native vostore file")
     args = p.parse_args(argv)
+    if not args.bag and not args.detections:
+        p.error("--detections is required unless reading a --bag")
 
     from droplet_visual_odometry_tpu import groundtruth as gt
     from droplet_visual_odometry_tpu.core.camera import load_calibration
     from droplet_visual_odometry_tpu.data import sequence as seq_mod
     from droplet_visual_odometry_tpu.data.native_store import pair_stamps, write_store
 
-    if args.images:
-        frames, img_stamps = frames_from_folder(args.images, args.stamps_from_names)
-    else:
-        with np.load(args.raw) as z:
-            frames = np.asarray(z["frames"], np.uint8)
-            img_stamps = np.asarray(z["timestamps"], np.float64)
+    if args.bag:
+        from droplet_visual_odometry_tpu.data.rosbag import extract_bag
 
-    with np.load(args.detections) as z:
-        det_stamps = np.asarray(z["stamps"], np.float64)
+        frames_d, dets_raw = extract_bag(args.bag, args.image_topic, args.marker_topic)
+        frames = frames_d["frames"]
+        img_stamps = frames_d["timestamps"]
+        det_stamps = dets_raw.pop("stamps")
         dets_all = dict(
-            ids=np.asarray(z["ids"], np.int32),
-            translations=np.asarray(z["translations"], np.float32),
-            quaternions=np.asarray(z["quaternions"], np.float32),
-            corners=np.asarray(z["corners"], np.float32),
+            ids=np.asarray(dets_raw["ids"], np.int32),
+            translations=np.asarray(dets_raw["translations"], np.float32),
+            quaternions=np.asarray(dets_raw["quaternions"], np.float32),
+            corners=np.asarray(dets_raw["corners"], np.float32),
         )
+    else:
+        if args.images:
+            frames, img_stamps = frames_from_folder(args.images, args.stamps_from_names)
+        else:
+            with np.load(args.raw) as z:
+                frames = np.asarray(z["frames"], np.uint8)
+                img_stamps = np.asarray(z["timestamps"], np.float64)
+
+        with np.load(args.detections) as z:
+            det_stamps = np.asarray(z["stamps"], np.float64)
+            dets_all = dict(
+                ids=np.asarray(z["ids"], np.int32),
+                translations=np.asarray(z["translations"], np.float32),
+                quaternions=np.asarray(z["quaternions"], np.float32),
+                corners=np.asarray(z["corners"], np.float32),
+            )
 
     # Drop empty marker messages (all ids < 0), mirroring
     # get_valid_message_stream.py:32-34, then exact-stamp pair.
