@@ -39,11 +39,21 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# The fused match kernel passes the interpreter equivalence suite and compiles
-# for TPU, but on the single-chip axon tunnel its first execution was observed
-# to wedge the device (runtime hang, not a compile error) — so it stays opt-in
-# until that is root-caused. The XLA matcher is already one MXU matmul + small
-# reductions, so the fusion win is minor at K=512.
+# The fused match kernel: round-1's "first execution wedges the device" is
+# root-caused. The kernel contained `broadcasted_iota(jnp.float32, ...)`,
+# which fails Mosaic verification ('tpu.iota' op result must be integer) —
+# the axon tunnel surfaced that lowering failure as a runtime hang instead of
+# an error. Fixed (i32 iota + convert, pallas_match.py); the fix is pinned by
+# a cross-platform TPU-lowering regression test that runs on the CPU host
+# (tests/test_ops_pallas.py::test_match_kernel_lowers_for_tpu — the Mosaic
+# verifier runs at lowering, no device needed) plus the interpreter
+# bit-equivalence suite. After the fix the kernel verified, compiled, and
+# executed on the real chip (AOT lower/compile/execute, ~1 s), but dispatch-
+# path executions were still observed to hang the shared tunnel runtime in a
+# way that persists across processes — a tunnel-level liability independent
+# of kernel semantics. Since the XLA matcher is already one MXU matmul plus
+# small reductions (fusion win is minor at K=512), the fused kernel stays
+# opt-in on tunneled single-chip setups.
 _MATCH_KERNEL = os.environ.get("DVO_PALLAS_MATCH", "0") not in ("0", "false", "False")
 
 

@@ -53,8 +53,11 @@ def _kernel(a_ref, bt_ref, va_ref, vb_ref, out_ref):
     dist = jnp.where(invalid > 0.0, _INVALID, dist)
 
     ka, kb = dist.shape
-    cols = jax.lax.broadcasted_iota(jnp.float32, (ka, kb), 1)
-    rows = jax.lax.broadcasted_iota(jnp.float32, (ka, kb), 0)
+    # Mosaic's tpu.iota is integer-only (f32 iota fails verification — this
+    # was the round-1 "wedge": the axon tunnel surfaced the lowering failure
+    # as a runtime hang instead of an error). Generate i32, then convert.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ka, kb), 1).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ka, kb), 0).astype(jnp.float32)
 
     enc_row = dist * _ENC + cols  # min over axis 1 -> best (dist, col) per row
     best_row = jnp.min(enc_row, axis=1)

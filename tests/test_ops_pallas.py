@@ -165,3 +165,23 @@ def test_fast_score_pallas_batch_matches_single():
         single = np.asarray(fast.fast_score(imgs[i]))
         np.testing.assert_array_equal(batch[i] > 0, single > 0)
         np.testing.assert_allclose(batch[i], single, atol=1e-3, rtol=1e-5)
+
+
+def test_match_kernel_lowers_for_tpu():
+    """Mosaic-verification regression for the round-1 'device wedge'.
+
+    The fused matcher once used broadcasted_iota(jnp.float32, ...), which
+    fails Mosaic verification ('tpu.iota' must produce integers); the axon
+    tunnel surfaced that as a runtime hang. Cross-platform lowering runs the
+    Mosaic verifier on the CPU host — this test fails with VerificationError
+    if a non-lowerable op sneaks back into the kernel.
+    """
+    k = 512
+    da = jnp.zeros((k, 8), jnp.uint32)
+    va = jnp.ones((k,), bool)
+    lowered = (
+        jax.jit(lambda a, b, x, y: match_reductions(a, b, x, y))
+        .trace(da, da, va, va)
+        .lower(lowering_platforms=("tpu",))
+    )
+    assert "tpu_custom_call" in lowered.as_text()
