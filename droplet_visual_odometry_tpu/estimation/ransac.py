@@ -46,14 +46,21 @@ class RansacResult(NamedTuple):
 def _sample_indices(
     key: jax.Array, n_hyp: int, sample_size: int, n_pts: int, valid: jax.Array
 ) -> jax.Array:
-    """(B, sample_size) indices drawn from valid points (with replacement
-    across hypotheses, near-without-replacement within one via shifted picks)."""
-    p = valid.astype(jnp.float32)
-    p = p / jnp.maximum(p.sum(), 1e-9)
-    flat = jax.random.choice(
-        key, n_pts, shape=(n_hyp * sample_size,), replace=True, p=p
+    """(B, sample_size) indices drawn uniformly from valid points, with
+    replacement. Implemented as a packed index table (cumsum scatter) plus
+    uniform draws: `jax.random.choice(..., p=mask)` lowers to a
+    searchsorted-per-draw program that measured 0.9 ms/frame on TPU — 40% of
+    the whole RANSAC stage — while this is three cheap vector ops."""
+    v = valid.astype(jnp.int32)
+    pos = jnp.cumsum(v) - 1  # packed slot for each valid point
+    n_valid = jnp.maximum(pos[-1] + 1, 1)
+    slot = jnp.where(v > 0, pos, n_pts)  # invalid -> OOB, dropped by scatter
+    table = jnp.zeros((n_pts,), jnp.int32).at[slot].set(
+        jnp.arange(n_pts, dtype=jnp.int32), mode="drop"
     )
-    return flat.reshape(n_hyp, sample_size)
+    u = jax.random.uniform(key, (n_hyp * sample_size,))
+    draw = jnp.minimum((u * n_valid).astype(jnp.int32), n_valid - 1)
+    return table[draw].reshape(n_hyp, sample_size)
 
 
 def ransac_essential(
