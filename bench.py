@@ -39,7 +39,7 @@ def probe_device() -> bool:
     code = "import jax, jax.numpy as jnp; x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))); print(float(x[0, 0]))"
     try:
         r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=240
+            [sys.executable, "-c", code], capture_output=True, timeout=480
         )
         return r.returncode == 0 and b"8.0" in r.stdout
     except subprocess.TimeoutExpired:

@@ -192,11 +192,46 @@ class StoreReader:
             self._lib.vostore_close(self._handle)
             self._handle = None
 
+    def frames(self) -> "StoreFrames":
+        """Array-like (N, H, W) uint8 view — reads on demand, nothing resident.
+        Feed this straight to the streaming VO loop
+        (utils.checkpoint.run_sequence_checkpointed / pipeline stream=True)."""
+        return StoreFrames(self)
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+class StoreFrames:
+    """Minimal ndarray-like facade over a StoreReader: `.shape`, `.dtype`,
+    slice and fancy-index reads. Only the requested frames are materialised,
+    so a 25k-frame store streams through the chunked VO loop with O(chunk)
+    host memory."""
+
+    def __init__(self, reader: StoreReader):
+        self._r = reader
+        self.shape = (reader.n, reader.h, reader.w)
+        self.dtype = np.uint8
+
+    def __len__(self) -> int:
+        return self._r.n
+
+    def __getitem__(self, key) -> np.ndarray:
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._r.n)
+            if step != 1:
+                raise IndexError("StoreFrames supports step-1 slices only")
+            return self._r.read(start, max(stop - start, 0))
+        idx = np.atleast_1d(np.asarray(key))
+        if idx.ndim != 1:
+            raise IndexError("StoreFrames supports 1-D fancy indexing only")
+        out = np.empty((len(idx), self._r.h, self._r.w), np.uint8)
+        for k, i in enumerate(idx):
+            out[k] = self._r.read(int(i), 1)[0]
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -38,17 +38,28 @@ class ExperimentResult:
     backend_info: dict | None = None
 
 
-def preprocess_frames(seq: VOSequence) -> jnp.ndarray:
-    """Decode-side device preprocessing: undistort all frames if the camera has
-    distortion (reference per-frame path v3:115-135, here one batched remap
-    with a precomputed grid). Returns (N, H, W) float32 on device."""
-    frames = jnp.asarray(seq.frames, jnp.float32)
+def make_preprocessor(seq: VOSequence):
+    """Chunk preprocessor: raw (C, H, W) uint8 host frames -> (C, H, W)
+    float32 undistorted device frames (reference per-frame path v3:115-135,
+    here a batched remap with a precomputed grid). Works on any chunk size,
+    so both the whole-sequence and the streaming paths share it."""
     dist = np.asarray(seq.camera.dist)
     if not np.any(dist):
-        return frames
+        return lambda chunk: jnp.asarray(np.asarray(chunk), jnp.float32)
     new_K = camera_mod.optimal_new_camera_matrix(seq.camera, alpha=1.0)
     src_map = camera_mod.undistort_rectify_map(seq.camera, jnp.asarray(new_K))
-    return jax.vmap(lambda f: camera_mod.remap_bilinear(f, src_map))(frames)
+    remap = jax.jit(jax.vmap(lambda f: camera_mod.remap_bilinear(f, src_map)))
+
+    def preprocess(chunk) -> jnp.ndarray:
+        return remap(jnp.asarray(np.asarray(chunk), jnp.float32))
+
+    return preprocess
+
+
+def preprocess_frames(seq: VOSequence) -> jnp.ndarray:
+    """Whole-sequence device preprocessing (moderate sequences; the streaming
+    path applies make_preprocessor per chunk instead)."""
+    return make_preprocessor(seq)(seq.frames)
 
 
 def effective_K(seq: VOSequence) -> np.ndarray:
@@ -97,25 +108,37 @@ def run_experiment(
     refine_cfg=None,
     checkpoint_path: str | None = None,
     checkpoint_chunk: int = 256,
+    stream: bool | None = None,
 ) -> ExperimentResult:
     """Full experiment on one sequence. Writes the six TUM streams when
     out_dir is given (file names per dual_process:296-309). backend='ba'
     additionally refines the trajectory with keyframe windowed bundle
-    adjustment (BASELINE config #3)."""
-    frames = preprocess_frames(seq)
+    adjustment (BASELINE config #3).
+
+    stream: process frames in host->device chunks of `checkpoint_chunk`
+    (device memory bounded by the chunk, raw frames may be an np.memmap) —
+    the reference's own 25k-frame bags (v3:20) require it. Defaults to ON
+    when checkpoint_path is set or the sequence exceeds ~2 GB of f32 frames;
+    both paths compute identical streams (same per-chunk programs).
+    """
+    preprocess = make_preprocessor(seq)
     K = jnp.asarray(effective_K(seq), jnp.float32)
     corners = effective_marker_corners(seq, np.asarray(K))
+    if stream is None:
+        frame_f32_bytes = 4 * int(np.prod(seq.frames.shape))
+        stream = bool(checkpoint_path) or frame_f32_bytes > 2 << 30
 
     # Seed VO from the first marker pose (dual_process:102-117).
     first = int(np.argmax(seq.marker_present)) if seq.marker_present.any() else 0
     init_pose = jnp.asarray(seq.marker_poses[first])
 
-    if checkpoint_path:
+    if stream:
         from droplet_visual_odometry_tpu.utils.checkpoint import run_sequence_checkpointed
 
+        frames = None  # raw frames stay on host; chunks are device-resident
         traj = run_sequence_checkpointed(
             jax.random.PRNGKey(seed),
-            np.asarray(frames),
+            seq.frames,
             corners,
             np.asarray(seq.marker_present),
             np.asarray(init_pose),
@@ -124,8 +147,10 @@ def run_experiment(
             cfg,
             path=checkpoint_path,
             chunk=checkpoint_chunk,
+            preprocess=preprocess,
         )
     else:
+        frames = preprocess(seq.frames)
         traj = run_sequence(
             jax.random.PRNGKey(seed),
             frames,
@@ -149,12 +174,20 @@ def run_experiment(
         corr = np.linalg.inv(vo_abs[first]) @ np.asarray(init_pose, np.float64)
         vo_abs = vo_abs @ corr
 
+    # Backends fetch (undistorted, device-resident) frames by index — a
+    # device gather for in-memory runs, a host gather + chunk preprocess for
+    # streaming runs (keyframes only, so the transfer stays small).
+    if frames is not None:
+        fetch_frames = lambda idx: frames[jnp.asarray(np.asarray(idx))]
+    else:
+        fetch_frames = lambda idx: preprocess(seq.frames[np.asarray(idx)])
+
     backend_info: dict = {}
     if backend == "ba":
         from droplet_visual_odometry_tpu.backend.refine import RefineConfig, refine_trajectory
 
         vo_abs, backend_info = refine_trajectory(
-            frames,
+            fetch_frames,
             vo_abs,
             np.asarray(traj.n_inliers),
             K,
@@ -167,7 +200,7 @@ def run_experiment(
         )
 
         vo_abs, backend_info = pose_graph_trajectory(
-            frames,
+            fetch_frames,
             vo_abs,
             np.asarray(traj.n_inliers),
             corners,
