@@ -56,7 +56,11 @@ def _hartley_normalize(x: jax.Array, w: jax.Array) -> tuple[jax.Array, jax.Array
 
 
 def essential_8point(
-    x1: jax.Array, x2: jax.Array, w: jax.Array, enforce_rank2: bool = True
+    x1: jax.Array,
+    x2: jax.Array,
+    w: jax.Array,
+    enforce_rank2: bool = True,
+    hartley: bool = True,
 ) -> jax.Array:
     """Weighted 8-point algorithm, batched over leading dims.
 
@@ -66,12 +70,21 @@ def essential_8point(
     to (1, 1, 0). Hypothesis *scoring* can skip the projection (Sampson error
     ranks raw solutions just as well) — RANSAC enforces on the winner only.
 
+    hartley=False skips the per-sample Hartley normalisation: inputs here are
+    already NORMALIZED CAMERA coords (|x| <~ 0.7 at VO fields of view), so the
+    normal matrix is well-scaled without it; RANSAC's minimal-sample stage
+    (thousands of 8x9 solves whose winners are polished afterwards) uses that
+    to halve its per-hypothesis cost. The full-set polish keeps hartley=True.
+
     Uses fixed-cost inverse iteration + unrolled Cholesky instead of
     jnp.linalg.eigh, whose TPU Jacobi loop hits worst-case iteration counts on
     exactly-rank-8 minimal-sample normal matrices (ops/linalg.py).
     """
-    x1n, T1 = _hartley_normalize(x1, w)
-    x2n, T2 = _hartley_normalize(x2, w)
+    if hartley:
+        x1n, T1 = _hartley_normalize(x1, w)
+        x2n, T2 = _hartley_normalize(x2, w)
+    else:
+        x1n, x2n = x1, x2
 
     # A rows: kron(x2, x1): [x2x*x1, x2y*x1, x1] -> (..., N, 9)
     A = (x2n[..., :, None] * x1n[..., None, :]).reshape(x1.shape[:-1] + (9,))
@@ -80,8 +93,9 @@ def essential_8point(
     e = fast_linalg.smallest_eigvec(AtA)
     E = e.reshape(e.shape[:-1] + (3, 3))
 
-    # Undo normalisation: x2^T E x1 = x2n^T En x1n with xin = Ti xi.
-    E = jnp.swapaxes(T2, -1, -2) @ E @ T1
+    if hartley:
+        # Undo normalisation: x2^T E x1 = x2n^T En x1n with xin = Ti xi.
+        E = jnp.swapaxes(T2, -1, -2) @ E @ T1
 
     if enforce_rank2:
         E = project_to_essential(E)

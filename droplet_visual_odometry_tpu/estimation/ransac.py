@@ -50,7 +50,11 @@ def _sample_indices(
     replacement. Implemented as a packed index table (cumsum scatter) plus
     uniform draws: `jax.random.choice(..., p=mask)` lowers to a
     searchsorted-per-draw program that measured 0.9 ms/frame on TPU — 40% of
-    the whole RANSAC stage — while this is three cheap vector ops."""
+    the whole RANSAC stage — while this is three cheap vector ops.
+
+    Assumes n_valid < 2**24: (u * n_valid) is computed in float32, so beyond
+    that the product quantizes and biases the draw (never out of bounds — the
+    minimum clamp covers the u≈1 rounding edge). VO feature counts are ~1e3."""
     v = valid.astype(jnp.int32)
     pos = jnp.cumsum(v) - 1  # packed slot for each valid point
     n_valid = jnp.maximum(pos[-1] + 1, 1)
@@ -87,7 +91,9 @@ def ransac_essential(
     w = jnp.ones(idx.shape, jnp.float32)
     # Hypotheses are scored UNPROJECTED (Sampson ranks raw null-space solutions
     # equally well); the essential-manifold projection runs once, on the winner.
-    Es = epipolar.essential_8point(s1, s2, w, enforce_rank2=False)  # (B, 3, 3)
+    Es = epipolar.essential_8point(
+        s1, s2, w, enforce_rank2=False, hartley=False
+    )  # (B, 3, 3)
 
     def msac_cost(err):
         """Truncated (MSAC) cost — lower is better. Counting inliers alone
@@ -116,7 +122,7 @@ def ransac_essential(
             )
             Es_lo = epipolar.essential_8point(
                 x1[idx_lo], x2[idx_lo], jnp.ones(idx_lo.shape, jnp.float32),
-                enforce_rank2=False,
+                enforce_rank2=False, hartley=False,
             )
             err_lo = epipolar.sampson_error(Es_lo, x1, x2)
             costs_lo = msac_cost(err_lo)

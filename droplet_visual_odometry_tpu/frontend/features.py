@@ -95,7 +95,7 @@ def _orb_level(
     """Detect + describe one pyramid level; coords mapped to level-0 pixels."""
     n, lh, lw = level_imgs.shape
     score = _score_batch(level_imgs, threshold, arc_length)
-    kps = jax.vmap(lambda s: fast.select_topk_tiled(fast.nms3x3(s), k_level))(score)
+    kps = jax.vmap(lambda s: fast.select_topk_rows(fast.nms3x3(s), k_level))(score)
     blur = filters.gaussian_blur(level_imgs, sigma=2.0, radius=4)
     desc, ang = describe_batch(blur, kps.xy)
 

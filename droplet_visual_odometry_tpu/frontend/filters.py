@@ -56,14 +56,46 @@ def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int | None = None)
     return acc
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_weights(n_in: int, n_out: int):
+    """(n_in, n_out) antialiased triangle-kernel weights, columns sum to 1.
+
+    Output pixel i samples input at c = (i + 0.5) * scale - 0.5 with a
+    triangle of half-width max(scale, 1) — the same pixel-center convention
+    and antialias rule as jax.image.resize(method='linear', antialias=True).
+    """
+    import numpy as np
+
+    scale = n_in / n_out
+    support = max(scale, 1.0)
+    c = (np.arange(n_out) + 0.5) * scale - 0.5
+    j = np.arange(n_in)
+    w = np.maximum(0.0, 1.0 - np.abs(j[:, None] - c[None, :]) / support)
+    w /= w.sum(axis=0, keepdims=True)
+    return w.astype(np.float32)
+
+
 def resize_bilinear(img: jax.Array, new_h: int, new_w: int) -> jax.Array:
     """Antialiased linear resize of (..., H, W) to (..., new_h, new_w).
 
-    jax.image.resize(linear, antialias) lowers to two separable weight
-    matmuls (one per spatial axis) — MXU work, not gathers — which is the
-    right TPU shape for the pyramid's non-integer scale steps (e.g. 1/sqrt(2))."""
-    shape = img.shape[:-2] + (new_h, new_w)
-    return jax.image.resize(img.astype(jnp.float32), shape, method="linear")
+    Two separable weight matmuls (one per spatial axis) — MXU work, not
+    gathers — which is the right TPU shape for the pyramid's non-integer
+    scale steps. Runs in bfloat16 with f32 accumulation: 2x the MXU rate and
+    half the HBM traffic of f32, and pixel values 0..255 round to <=0.5
+    intensity (far below the FAST threshold of 20), so detection/description
+    downstream are unaffected.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    Wh = jnp.asarray(_resize_weights(h, new_h), jnp.bfloat16)
+    Ww = jnp.asarray(_resize_weights(w, new_w), jnp.bfloat16)
+    t = jnp.einsum(
+        "...hw,hk->...kw", img.astype(jnp.bfloat16), Wh,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum(
+        "...kw,wl->...kl", t.astype(jnp.bfloat16), Ww,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def downsample2(img: jax.Array) -> jax.Array:

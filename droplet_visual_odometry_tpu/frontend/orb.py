@@ -176,17 +176,17 @@ def describe_batch(
         patches = jax.vmap(extract_patches)(imgs_blur, xy)  # (N, K, P, P)
         flat_p = patches.reshape(n * k, PATCH * PATCH)
 
-    # Exact-in-f32 matmul via hi/lo bf16 split: pixel = hi + lo with both
-    # halves bf16-exact, weights are small integers (bf16-exact), products
-    # accumulate in f32 on the MXU. A single bf16 pass rounds 0..255 pixels to
-    # ~1.0 ulp, which flips near-tie descriptor bits on the smooth blurred
-    # image (~10/256 bits of noise, measured) — the second pass removes that
-    # for ~5 ms.
-    hi = flat_p.astype(jnp.bfloat16)
-    lo = (flat_p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    feats = jnp.dot(hi, _STEER_W, preferred_element_type=jnp.float32) + jnp.dot(
-        lo, _STEER_W, preferred_element_type=jnp.float32
-    )  # (NK, 2 + 30*256) f32
+    # Exact single bf16 matmul: quantise blurred pixels to integers first —
+    # every integer in [0, 256] is exactly representable in bfloat16 (7+1
+    # mantissa bits), and the steering weights are small integers, so products
+    # are exact and accumulate in f32 on the MXU. A bf16 pass on UNROUNDED
+    # pixels flips ~10/256 near-tie bits (measured, round 1) which previously
+    # forced a hi/lo two-matmul split; rounding the patch once removes the
+    # ties deterministically (both sides of every match see the same rounded
+    # image) at half the MXU and HBM cost.
+    q = jnp.round(flat_p).astype(jnp.bfloat16)
+    feats = jnp.dot(q, _STEER_W, preferred_element_type=jnp.float32)
+    # (NK, 2 + 30*256) f32
     m01 = feats[:, 0]
     m10 = feats[:, 1]
     ang = jnp.arctan2(m01, m10)  # (NK,)

@@ -61,30 +61,56 @@ def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, w_pad, h_orig, w_orig, th
         rows = scratch[HALO + dy : HALO + dy + tile_h, :]
         return pltpu.roll(rows, (-dx) % w_pad, axis=1)
 
-    zeros_i = jnp.zeros((tile_h, w_pad), jnp.int32)
     zeros_f = jnp.zeros((tile_h, w_pad), jnp.float32)
-    run_b = zeros_i
-    best_b = zeros_i
-    run_d = zeros_i
-    best_d = zeros_i
+    zeros_i = jnp.zeros((tile_h, w_pad), jnp.int32)
     score_b = zeros_f
     score_d = zeros_f
-    # Doubled-ring scan (fast.py:41-54) fused with score accumulation: steps
-    # 0..15 accumulate the polarity scores, all 32 steps advance the run scan.
-    for step in range(32):
-        nbr = neighbour(step % 16)
-        brighter = nbr > center + threshold
-        darker = nbr < center - threshold
-        run_b = jnp.where(brighter, run_b + 1, 0)
-        run_d = jnp.where(darker, run_d + 1, 0)
-        best_b = jnp.maximum(best_b, jnp.minimum(run_b, 16))
-        best_d = jnp.maximum(best_d, jnp.minimum(run_d, 16))
-        if step < 16:
-            excess = jnp.abs(nbr - center) - threshold
-            score_b = score_b + jnp.where(brighter, excess, 0.0)
-            score_d = score_d + jnp.where(darker, excess, 0.0)
+    pack_b = zeros_i
+    pack_d = zeros_i
+    # One pass over the 16 circle neighbours: each roll happens ONCE (the
+    # doubled-ring scan formulation rolled every neighbour twice). The 16
+    # polarity bits pack into ONE int32 ring per polarity per pixel — the
+    # whole kernel's live set is four accumulator arrays, no spill.
+    for j in range(16):
+        nbr = neighbour(j)
+        bj = nbr > center + threshold
+        dj = nbr < center - threshold
+        excess = jnp.abs(nbr - center) - threshold
+        score_b = score_b + jnp.where(bj, excess, 0.0)
+        score_d = score_d + jnp.where(dj, excess, 0.0)
+        bit = jnp.int32(1 << j)
+        pack_b = pack_b | jnp.where(bj, bit, 0)
+        pack_d = pack_d | jnp.where(dj, bit, 0)
 
-    is_corner = (best_b >= arc_length) | (best_d >= arc_length)
+    mask16 = jnp.int32(0xFFFF)
+
+    def rot(v, k):
+        # Cyclic rotate of the 16-bit ring: bit j of rot(v, k) = bit j+k of v.
+        return ((v >> k) | (v << (16 - k))) & mask16
+
+    def has_arc(v):
+        """Exists a cyclic run of >= arc_length consecutive set bits.
+
+        Log-step AND-doubling on the packed ring: r &= rot(r, k) doubles the
+        run length each step, then arc_length is composed from its binary
+        digits — ~20 int ops instead of a 32-step sequential run-length scan.
+        Equivalent to max_circular_run >= L for any L <= 16.
+        """
+        pows = {1: v}
+        k = 1
+        while k * 2 <= arc_length:
+            pows[k * 2] = pows[k] & rot(pows[k], k)
+            k *= 2
+        run = None
+        off = 0
+        for bit in (16, 8, 4, 2, 1):
+            if arc_length & bit:
+                term = rot(pows[bit], off) if off else pows[bit]
+                run = term if run is None else run & term
+                off += bit
+        return run != 0
+
+    is_corner = has_arc(pack_b) | has_arc(pack_d)
     score = jnp.maximum(score_b, score_d)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 0) + row0
