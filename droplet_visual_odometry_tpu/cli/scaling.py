@@ -27,7 +27,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--pid", type=int, default=None)
     ap.add_argument("--json", action="store_true", help="machine-readable output")
+    ap.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        help="force a JAX platform (e.g. 'cpu' for the virtual mesh; env vars "
+        "are too late once sitecustomize has imported jax)",
+    )
+    ap.add_argument(
+        "--host-devices",
+        type=int,
+        default=None,
+        help="virtual host device count (--xla_force_host_platform_device_count)",
+    )
     args = ap.parse_args(argv)
+
+    if args.host_devices:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.host_devices}"
+            ).strip()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from droplet_visual_odometry_tpu.parallel import launch
 

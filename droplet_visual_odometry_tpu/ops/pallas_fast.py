@@ -124,6 +124,31 @@ def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, w_pad, h_orig, w_orig, th
     out_ref[0] = jnp.where(is_corner & in_bounds, score, 0.0)
 
 
+@functools.lru_cache(maxsize=None)
+def _batch_fn(threshold: float, arc_length: int, tile_h: int, interpret: bool):
+    """(N, H, W) kernel wrapper with a custom vmap rule.
+
+    `jax.vmap` over a `pallas_call` auto-batches by prepending a blocked grid
+    dimension to every BlockSpec — but our input spec is a whole-array
+    `memory_space=ANY` ref (the kernel DMAs its own stripes), and Mosaic
+    rejects ANY-space blocks with non-trivial index maps. The batch axis IS
+    the kernel's leading grid dimension already, so the vmap rule just folds
+    the new batch axis into N and recurses (nested vmaps fold one at a time).
+    """
+
+    @jax.custom_batching.custom_vmap
+    def run(imgs):
+        return _fast_score_impl(imgs, threshold, arc_length, tile_h, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, imgs):  # noqa: ANN001
+        b, n, h, w = imgs.shape
+        out = run(imgs.reshape(b * n, h, w))
+        return out.reshape(b, n, h, w), True
+
+    return run
+
+
 @functools.partial(
     jax.jit, static_argnames=("threshold", "arc_length", "tile_h", "interpret")
 )
@@ -137,9 +162,22 @@ def fast_score_pallas_batch(
     """Batched corner response: (N, H, W) float -> (N, H, W) float32.
 
     The batch rides as the leading grid dimension (one program per frame per
-    row stripe), so whole-sequence frontends issue ONE kernel launch.
+    row stripe), so whole-sequence frontends issue ONE kernel launch — and
+    `jax.vmap` folds into that same grid dimension (see `_batch_fn`) instead
+    of tripping Mosaic's batched-BlockSpec limits.
     """
-    imgs = imgs.astype(jnp.float32)
+    return _batch_fn(float(threshold), int(arc_length), int(tile_h), bool(interpret))(
+        imgs.astype(jnp.float32)
+    )
+
+
+def _fast_score_impl(
+    imgs: jax.Array,
+    threshold: float,
+    arc_length: int,
+    tile_h: int,
+    interpret: bool,
+) -> jax.Array:
     n, h, w = imgs.shape
     h_pad = _round_up(h, tile_h)
     w_pad = _round_up(w, LANE)
