@@ -70,11 +70,14 @@ def essential_8point(
     to (1, 1, 0). Hypothesis *scoring* can skip the projection (Sampson error
     ranks raw solutions just as well) — RANSAC enforces on the winner only.
 
-    hartley=False skips the per-sample Hartley normalisation: inputs here are
-    already NORMALIZED CAMERA coords (|x| <~ 0.7 at VO fields of view), so the
-    normal matrix is well-scaled without it; RANSAC's minimal-sample stage
-    (thousands of 8x9 solves whose winners are polished afterwards) uses that
-    to halve its per-hypothesis cost. The full-set polish keeps hartley=True.
+    hartley=False skips the per-sample Hartley normalisation. Callers that do
+    so MUST pre-condition the inputs themselves: RANSAC normalises ONCE
+    globally over the full matched set (O(N), not O(B*8)) and maps each
+    candidate E back with two 3x3 matmuls — raw normalized-camera coords are
+    NOT well-conditioned enough for the fixed-cost eigensolver below (the
+    off-centre dolly sequence in test_frontend.py regressed 2x in ATE when
+    the per-hypothesis solves ran unnormalised). The full-set polish keeps
+    hartley=True.
 
     Uses fixed-cost inverse iteration + unrolled Cholesky instead of
     jnp.linalg.eigh, whose TPU Jacobi loop hits worst-case iteration counts on

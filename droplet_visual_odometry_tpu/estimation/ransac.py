@@ -85,14 +85,26 @@ def ransac_essential(
     f = 0.5 * (K[0, 0] + K[1, 1])
     thr2 = (cfg.threshold_px / f) ** 2
 
+    # Global Hartley frame: ONE O(N) normalisation pass over the full matched
+    # set conditions every minimal-sample solve (the fixed-cost inverse-
+    # iteration eigensolver needs centred, unit-scale coords), instead of
+    # per-sample stats inside each of the B solves. Each candidate E is mapped
+    # back with two 3x3 matmuls so scoring stays in original units.
+    vw = valid.astype(jnp.float32)
+    x1g, T1 = epipolar._hartley_normalize(x1, vw)
+    x2g, T2 = epipolar._hartley_normalize(x2, vw)
+
+    def denorm(En):
+        return T2.T @ En @ T1
+
     idx = _sample_indices(key, cfg.n_hypotheses, cfg.sample_size, n, valid)
-    s1 = x1[idx]  # (B, 8, 3)
-    s2 = x2[idx]
+    s1 = x1g[idx]  # (B, 8, 3)
+    s2 = x2g[idx]
     w = jnp.ones(idx.shape, jnp.float32)
     # Hypotheses are scored UNPROJECTED (Sampson ranks raw null-space solutions
     # equally well); the essential-manifold projection runs once, on the winner.
-    Es = epipolar.essential_8point(
-        s1, s2, w, enforce_rank2=False, hartley=False
+    Es = denorm(
+        epipolar.essential_8point(s1, s2, w, enforce_rank2=False, hartley=False)
     )  # (B, 3, 3)
 
     def msac_cost(err):
@@ -120,9 +132,11 @@ def ransac_essential(
             idx_lo = _sample_indices(
                 key_lo, cfg.lo_hypotheses, cfg.lo_sample_size, n, inliers
             )
-            Es_lo = epipolar.essential_8point(
-                x1[idx_lo], x2[idx_lo], jnp.ones(idx_lo.shape, jnp.float32),
-                enforce_rank2=False, hartley=False,
+            Es_lo = denorm(
+                epipolar.essential_8point(
+                    x1g[idx_lo], x2g[idx_lo], jnp.ones(idx_lo.shape, jnp.float32),
+                    enforce_rank2=False, hartley=False,
+                )
             )
             err_lo = epipolar.sampson_error(Es_lo, x1, x2)
             costs_lo = msac_cost(err_lo)
