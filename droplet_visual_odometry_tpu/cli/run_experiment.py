@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the run into this dir")
     p.add_argument("--plot", default=None, help="write a 3-D GT-vs-VO plot PNG here")
+    p.add_argument("--dump-matches", type=int, default=0, metavar="N",
+                   help="write matched-keypoint debug images (RANSAC inliers "
+                   "green/outliers red) for N evenly spaced frame pairs into "
+                   "OUT_DIR/debug — the reference's visualize_key_points_matching "
+                   "imagery (v3:174-187)")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     # synthetic options
     p.add_argument("--n-frames", type=int, default=60)
@@ -149,6 +154,15 @@ def main(argv=None) -> int:
         "streams": res.stream_paths,
     }
     print(json.dumps(summary, indent=2))
+
+    if args.dump_matches:
+        import os
+
+        debug_dir = os.path.join(args.out_dir or ".", "debug")
+        written = pipeline.dump_match_images(
+            seq, cfg, debug_dir, n_pairs=args.dump_matches, seed=args.seed
+        )
+        print(json.dumps({"debug_images": written}, indent=2))
 
     if args.plot:
         from droplet_visual_odometry_tpu.eval.plots import plot_trajectory_3d

@@ -249,3 +249,94 @@ def run_experiment(
         stream_paths=paths,
         backend_info=backend_info,
     )
+
+
+def dump_match_images(
+    seq: VOSequence,
+    cfg: VOConfig,
+    out_dir: str,
+    n_pairs: int = 4,
+    seed: int = 0,
+    max_draw: int = 100,
+) -> list[str]:
+    """Write side-by-side matched-keypoint debug images for evenly spaced
+    frame pairs — the reference's visualize_key_points_matching /
+    drawKeypoints debug imagery (visual_odometry_v3.py:174-187, 370-379),
+    with RANSAC inliers green and outliers red.
+
+    Returns the written paths (match_XXXXX.png per pair, plus a keypoint
+    overlay for the first frame of the first pair).
+    """
+    import os
+
+    from droplet_visual_odometry_tpu.estimation.ransac import ransac_pose
+    from droplet_visual_odometry_tpu.eval import plots
+    from droplet_visual_odometry_tpu.frontend import matcher
+    from droplet_visual_odometry_tpu.frontend.features import detect_and_describe_batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(seq)
+    if n < 2:
+        return []
+    pair_starts = sorted(
+        {int(i) for i in np.linspace(0, n - 2, max(1, min(n_pairs, n - 1)))}
+    )
+    preprocess = make_preprocessor(seq)
+    K = jnp.asarray(effective_K(seq), jnp.float32)
+
+    paths: list[str] = []
+    key = jax.random.PRNGKey(seed)
+    for i in pair_starts:
+        frames = preprocess(seq.frames[i : i + 2])
+        feats = detect_and_describe_batch(
+            frames,
+            k=cfg.n_keypoints,
+            threshold=cfg.fast_threshold,
+            mode=cfg.frontend,
+            dog_threshold=cfg.dog_threshold,
+            n_levels=cfg.n_levels if cfg.frontend == "orb" else 1,
+            scale_factor=cfg.scale_factor,
+        )
+        m = matcher.match(
+            feats.desc[0], feats.desc[1], feats.valid[0], feats.valid[1],
+            mode=cfg.match_mode, ratio=cfg.ratio,
+        )
+        p_prev, p_curr, valid = matcher.gather_correspondences(
+            feats.xy[0], feats.xy[1], m
+        )
+        _, _, res = ransac_pose(
+            jax.random.fold_in(key, i), p_prev, p_curr, valid, K, cfg.ransac
+        )
+        fa, fb = np.asarray(frames[0]), np.asarray(frames[1])
+        path = os.path.join(out_dir, f"match_{i:05d}.png")
+        plots.plot_matches(
+            path,
+            fa,
+            fb,
+            np.asarray(feats.xy[0]),
+            np.asarray(feats.xy[1]),
+            np.asarray(m.idx),
+            np.asarray(m.valid),
+            inliers=np.asarray(res.inliers),
+            max_draw=max_draw,
+            title=f"pair {i}->{i+1} ({cfg.frontend}/{cfg.match_mode})",
+        )
+        paths.append(path)
+        if i == pair_starts[0]:
+            kp_path = os.path.join(out_dir, f"keypoints_{i:05d}.png")
+            plots.plot_keypoints(
+                kp_path, fa, np.asarray(feats.xy[0]), np.asarray(feats.valid[0]),
+                title=f"frame {i} ({cfg.frontend})",
+            )
+            paths.append(kp_path)
+        if seq.marker_present[i] and seq.marker_present[i + 1]:
+            mc_path = os.path.join(out_dir, f"marker_corners_{i:05d}.png")
+            plots.plot_marker_corners(
+                mc_path,
+                np.asarray(seq.marker_corners[i]),
+                np.asarray(seq.marker_corners[i + 1]),
+                frame=fa,
+                title=f"marker corners {i}->{i+1}",
+            )
+            paths.append(mc_path)
+    return paths

@@ -38,6 +38,7 @@ from droplet_visual_odometry_tpu.groundtruth import (
     GroundTruthConfig,
     MarkerDetections,
     derive_ground_truth,
+    marker_pose_to_cTm,
 )
 
 
@@ -84,6 +85,11 @@ class OnlineVO:
         self._pose = np.eye(4, dtype=np.float32)
         self._step = 0
         self.on_pose: list[Callable[[float, np.ndarray], None]] = []
+        # Per-marker broadcast — the stag_visualizer analog
+        # (stag_visualizer.py:13-22 publishes every detected marker as a TF
+        # frame `marker_<id>`): callbacks get (timestamp, marker_id, cTm)
+        # for EVERY detected marker in the frame, not just reference_id.
+        self.on_marker: list[Callable[[float, int, np.ndarray], None]] = []
 
         def pair_step(key, feats_prev, feats_curr, pc, cc, mv):
             return two_frame_vo(
@@ -118,6 +124,8 @@ class OnlineVO:
         state but no pose is produced.
         """
         gt_pose, corners, mvalid = self._marker_info(markers)
+        if markers is not None and self.on_marker:
+            self._broadcast_markers(timestamp, markers)
 
         if not self._armed:
             if gt_pose is None:
@@ -160,6 +168,24 @@ class OnlineVO:
         )
 
     # -- helpers ------------------------------------------------------------
+    def _broadcast_markers(self, timestamp: float, markers: MarkerDetections) -> None:
+        """Fire on_marker for every detected marker slot (id >= 0) in the
+        frame's detections — per-marker TF-frame parity with
+        stag_visualizer.stag_markers_callback (stag_visualizer.py:13-22)."""
+        ids = np.asarray(markers.ids[0])
+        if not (ids >= 0).any():
+            return
+        cTms = np.asarray(
+            marker_pose_to_cTm(
+                jnp.asarray(markers.translations[0]),
+                jnp.asarray(markers.quaternions[0]),
+                self.gt_cfg,
+            )
+        )
+        for slot in np.flatnonzero(ids >= 0):
+            for cb in self.on_marker:
+                cb(float(timestamp), int(ids[slot]), cTms[slot])
+
     def _prime(self, frame, corners, mvalid):
         self._prev_feats = detect_and_describe(
             jnp.asarray(frame, jnp.float32),

@@ -15,14 +15,16 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compile cache keeps repeat test runs fast on the slow CPU backend.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dvo_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache keeps repeat test runs fast on the slow CPU
+# backend. Env vars are too late here (sitecustomize already imported jax,
+# same reason jax_platforms uses jax.config above) — set via config.
+jax.config.update("jax_compilation_cache_dir", "/tmp/dvo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_sessionstart(session):

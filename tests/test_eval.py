@@ -118,3 +118,44 @@ def test_gt_vo_difference_parity():
     vo2[:, :3, :3] = Rz
     d2 = metrics.gt_vo_difference(gt, vo2)
     np.testing.assert_allclose(d2["euler_diff"][:, 2], -3.0, atol=1e-5)
+
+
+class TestDebugImagery:
+    """Match/keypoint/marker-corner debug imagery (v3:174-187, 242-260,
+    370-379 parity)."""
+
+    def test_dump_match_images_writes_pngs(self, tmp_path):
+        from droplet_visual_odometry_tpu import pipeline
+        from droplet_visual_odometry_tpu.data import synthetic
+        from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+
+        seq = synthetic.render_sequence(
+            synthetic.SyntheticConfig(n_frames=4, width=320, height=240, n_landmarks=200)
+        )
+        paths = pipeline.dump_match_images(seq, VOConfig(), str(tmp_path), n_pairs=2)
+        import os
+
+        assert len(paths) >= 3  # 2 match images + keypoint overlay (+ corners)
+        names = {os.path.basename(p) for p in paths}
+        assert any(n.startswith("match_") for n in names)
+        assert any(n.startswith("keypoints_") for n in names)
+        for p in paths:
+            assert os.path.getsize(p) > 1000  # a real PNG, not an empty file
+
+    def test_plot_matches_inlier_split(self, tmp_path):
+        import numpy as np
+
+        from droplet_visual_odometry_tpu.eval import plots
+
+        rng = np.random.default_rng(0)
+        fa = rng.random((60, 80)).astype(np.float32)
+        fb = rng.random((60, 80)).astype(np.float32)
+        k = 16
+        xy_a = rng.random((k, 2)) * [80, 60]
+        xy_b = rng.random((k, 2)) * [80, 60]
+        idx = rng.integers(0, k, size=k)
+        valid = np.ones(k, bool)
+        inl = rng.random(k) > 0.5
+        out = tmp_path / "m.png"
+        plots.plot_matches(str(out), fa, fb, xy_a, xy_b, idx, valid, inliers=inl)
+        assert out.stat().st_size > 1000

@@ -81,3 +81,38 @@ def test_stream_pose_callbacks():
     vo.push(seq.timestamps[0], seq.frames[0], _dets_for(seq, 0))
     vo.push(seq.timestamps[1], seq.frames[1], _dets_for(seq, 1))
     assert len(seen) == 2 and seen[0][1] == (4, 4)
+
+
+def test_on_marker_broadcast_per_id():
+    """Every detected marker id is broadcast with its cTm — the
+    stag_visualizer per-marker TF analog (stag_visualizer.py:13-22)."""
+    seq = synthetic.render_sequence(
+        synthetic.SyntheticConfig(n_frames=3, width=320, height=240, n_landmarks=120)
+    )
+    from droplet_visual_odometry_tpu.groundtruth import GroundTruthConfig
+
+    vo = OnlineVO(
+        K=np.asarray(seq.camera.K),
+        real_marker_length=seq.real_marker_length,
+        cfg=VOConfig(n_keypoints=64, ransac=RansacConfig(n_hypotheses=64, lo_hypotheses=16)),
+        gt_cfg=GroundTruthConfig(use_base_link=False),
+    )
+    seen = []
+    vo.on_marker.append(lambda ts, mid, cTm: seen.append((ts, mid, cTm)))
+
+    # Two markers in one frame (ids 0 and 7), one empty slot (id -1).
+    cTm = np.asarray(seq.marker_poses[0], np.float64)
+    t, q = se3.to_translation_quaternion(jnp.asarray(cTm, jnp.float32))
+    t3 = np.tile(np.asarray(t), (1, 3, 1))
+    q3 = np.tile(np.asarray(q), (1, 3, 1))
+    dets = detections_from_arrays(
+        np.asarray([[0, 7, -1]], np.int32),
+        t3,
+        q3,
+        np.tile(np.asarray(seq.marker_corners[0])[None, None], (1, 3, 1, 1)),
+    )
+    vo.push(seq.timestamps[0], seq.frames[0], dets)
+    assert [mid for _, mid, _ in seen] == [0, 7]
+    for _, _, pose in seen:
+        assert pose.shape == (4, 4)
+        np.testing.assert_allclose(pose, cTm, atol=1e-5)
