@@ -44,8 +44,13 @@ from droplet_visual_odometry_tpu.frontend.sift import (
 N_CELLS = 4
 N_DIM = N_CELLS * N_CELLS * 4  # 64
 
-# Geometric sigma ladder ~ SURF's 9/15/21/27 box sizes (sigma ≈ 1.2 * size/9).
-SIGMAS = (1.2, 2.0, 3.2, 5.0)
+# Intra-octave geometric sigma ladder ~ SURF's 9/15/21 box sizes
+# (sigma ≈ 1.2 * size/9); the octave pyramid in detect_and_describe extends
+# the effective ladder 2x per octave (1.2..3.2 x {1,2,4} spans ~10x), and —
+# unlike a flat ladder — descriptors are sampled at the DETECTING octave's
+# resolution, so a blob found at sigma 6.4 gets a 2x-wider descriptor
+# support than one found at 1.2 (scale-adapted, like the ORB/SIFT paths).
+SIGMAS = (1.2, 2.0, 3.2)
 
 
 def hessian_response(img: jax.Array, sigmas=SIGMAS) -> jax.Array:
@@ -112,18 +117,52 @@ def describe(img_blur: jax.Array, kps: Keypoints) -> tuple[jax.Array, jax.Array]
     return desc, ang
 
 
-@functools.partial(jax.jit, static_argnames=("k", "threshold"))
-def detect_and_describe(img: jax.Array, k: int = 512, threshold: float = 1.0):
-    """(H, W) frame -> SURF Features (desc is (K, 64) f32)."""
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "n_octaves"))
+def detect_and_describe(
+    img: jax.Array, k: int = 512, threshold: float = 1.0, n_octaves: int = 3
+):
+    """(H, W) frame -> SURF Features (desc is (K, 64) f32).
+
+    Octave pyramid (same structure as the SIFT frontend): each octave runs
+    the intra-octave Hessian sigma ladder AND describes at its own
+    resolution on a static per-octave budget summing to exactly k, with
+    coordinates mapped back to full-resolution pixels. Describing on the
+    detecting octave is what makes the descriptor scale-adapted — the fixed
+    37-px patch covers 2^o times more image at octave o, so a blob detected
+    at a coarse scale is described by its full support, not its centre
+    texture. n_octaves=1 reproduces the flat single-resolution behavior.
+    """
+    from droplet_visual_odometry_tpu.frontend.features import level_budgets
     from droplet_visual_odometry_tpu.frontend.orb import Features
 
     img = img.astype(jnp.float32)
-    kps = detect_blobs(img, k=k, threshold=threshold)
-    blur = filters.gaussian_blur(img, sigma=2.0, radius=4)
-    desc, ang = describe(blur, kps)
-    h, w = img.shape
-    x, y = kps.xy[:, 0], kps.xy[:, 1]
-    interior = (x >= HALF) & (x < w - HALF) & (y >= HALF) & (y < h - HALF)
-    return Features(
-        xy=kps.xy, score=kps.score, angle=ang, desc=desc, valid=kps.valid & interior
-    )
+    h0, w0 = img.shape
+    # Keep every octave at least 64px/axis (descriptor patch is 37px).
+    while n_octaves > 1 and min(h0, w0) // 2 ** (n_octaves - 1) < 64:
+        n_octaves -= 1
+    budgets = level_budgets(k, n_octaves, 2.0) if n_octaves > 1 else [k]
+
+    parts = []
+    oct_img = img
+    for o in range(n_octaves):
+        if o > 0:
+            oct_img = filters.downsample2(oct_img)
+        lh, lw = oct_img.shape
+        kps = detect_blobs(oct_img, k=budgets[o], threshold=threshold)
+        blur = filters.gaussian_blur(oct_img, sigma=2.0, radius=4)
+        desc, ang = describe(blur, kps)
+        x, y = kps.xy[:, 0], kps.xy[:, 1]
+        interior = (x >= HALF) & (x < lw - HALF) & (y >= HALF) & (y < lh - HALF)
+        scale = float(2**o)  # downsample2 decimates [::2]: level x -> 2^o * x
+        parts.append(
+            Features(
+                xy=kps.xy * scale,
+                score=kps.score,
+                angle=ang,
+                desc=desc,
+                valid=kps.valid & interior,
+            )
+        )
+    if n_octaves == 1:
+        return parts[0]
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
