@@ -51,14 +51,31 @@ def interpret_mode() -> bool:
 # executed on the real chip (AOT lower/compile/execute, ~1 s), but dispatch-
 # path executions were still observed to hang the shared tunnel runtime in a
 # way that persists across processes — a tunnel-level liability independent
-# of kernel semantics. Since the XLA matcher is already one MXU matmul plus
-# small reductions (fusion win is minor at K=512), the fused kernel stays
-# opt-in on tunneled single-chip setups.
-_MATCH_KERNEL = os.environ.get("DVO_PALLAS_MATCH", "0") not in ("0", "false", "False")
+# of kernel semantics. Disposition (round 3): the kernel is promoted to
+# DEFAULT-ON on directly-attached TPU (where dispatch is ordinary PJRT and
+# the AOT lower/compile/execute path was verified good), and stays opt-in
+# under the axon tunnel only — re-probing the dispatch hang there risks
+# wedging the shared tunnel for every later process. DVO_PALLAS_MATCH=1/0
+# overrides either way.
+_MATCH_KERNEL_ENV = os.environ.get("DVO_PALLAS_MATCH")
+
+
+def _tunneled_tpu() -> bool:
+    """True when the TPU is reached through the axon tunnel (remote PJRT
+    proxy) rather than directly attached."""
+    try:
+        dev = jax.devices()[0]
+        return "axon" in getattr(dev.client, "platform_version", "").lower()
+    except Exception:
+        return False
 
 
 def pallas_match_enabled() -> bool:
-    return _MATCH_KERNEL or _FORCE is True
+    if _FORCE is True:
+        return True
+    if _MATCH_KERNEL_ENV is not None:
+        return _MATCH_KERNEL_ENV not in ("0", "false", "False")
+    return pallas_enabled() and not _tunneled_tpu()
 
 
 # Per-keypoint patch extraction as batched async DMAs (ops/pallas_patches.py).

@@ -30,3 +30,23 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu"
     assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run slow soak-class tests (25k-frame streaming runs)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="soak test; opt in with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
