@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -32,18 +31,13 @@ WIDTH, HEIGHT = 1440, 1080
 def probe_device() -> bool:
     """True if the default JAX device completes a trivial program promptly.
 
-    Run as a SUBPROCESS with a hard timeout: a wedged TPU tunnel hangs inside
-    the runtime where in-process timeouts can't reach, and the bench must
-    never stall the driver — it falls back to CPU instead.
+    Run as a SUBPROCESS with a hard timeout (utils/device.py): a wedged TPU
+    tunnel hangs inside the runtime where in-process timeouts can't reach,
+    and the bench must never stall the driver — it falls back to CPU instead.
     """
-    code = "import jax, jax.numpy as jnp; x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))); print(float(x[0, 0]))"
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=480
-        )
-        return r.returncode == 0 and b"8.0" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    from droplet_visual_odometry_tpu.utils.device import probe_default_device
+
+    return probe_default_device(timeout_s=480)
 
 
 def build_sequence():

@@ -44,9 +44,27 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.host_devices:
         import os
+        import re
+        import sys
 
         flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
+        if "xla_force_host_platform_device_count" in flags:
+            # Replace a conflicting preset rather than silently keeping it
+            # (the user asked for THIS mesh size), and say so.
+            new_flags, n_sub = re.subn(
+                r"--?xla_force_host_platform_device_count=\d+",
+                f"--xla_force_host_platform_device_count={args.host_devices}",
+                flags,
+            )
+            if n_sub and new_flags != flags:
+                print(
+                    f"scaling: overriding pre-existing "
+                    f"xla_force_host_platform_device_count in XLA_FLAGS with "
+                    f"--host-devices={args.host_devices}",
+                    file=sys.stderr,
+                )
+            os.environ["XLA_FLAGS"] = new_flags
+        else:
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={args.host_devices}"
             ).strip()

@@ -130,7 +130,10 @@ def detect_and_describe(
     detecting octave is what makes the descriptor scale-adapted — the fixed
     37-px patch covers 2^o times more image at octave o, so a blob detected
     at a coarse scale is described by its full support, not its centre
-    texture. n_octaves=1 reproduces the flat single-resolution behavior.
+    texture. n_octaves=1 runs the single-resolution intra-octave ladder only
+    (SIGMAS = 1.2/2.0/3.2 — the former flat ladder's sigma=5.0 rung now lives
+    in octave 1 as 2.0 * 2^1 + downsampling, so single-octave callers do not
+    get it).
     """
     from droplet_visual_odometry_tpu.frontend.features import level_budgets
     from droplet_visual_odometry_tpu.frontend.orb import Features

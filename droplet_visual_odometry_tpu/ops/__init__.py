@@ -62,12 +62,25 @@ _MATCH_KERNEL_ENV = os.environ.get("DVO_PALLAS_MATCH")
 
 def _tunneled_tpu() -> bool:
     """True when the TPU is reached through the axon tunnel (remote PJRT
-    proxy) rather than directly attached."""
+    proxy) rather than directly attached.
+
+    FAIL SAFE (advisor r3): running the fused match kernel's dispatch path on
+    the tunnel can wedge the shared runtime persistently across processes, so
+    any failure to POSITIVELY identify a directly-attached device is treated
+    as tunneled (kernel stays opt-in). Direct attachment is identified by a
+    platform_version that names the TPU runtime without any tunnel/proxy
+    marker; an unreadable or unrecognisable version string is NOT direct."""
     try:
         dev = jax.devices()[0]
-        return "axon" in getattr(dev.client, "platform_version", "").lower()
+        version = getattr(dev.client, "platform_version", "") or ""
     except Exception:
-        return False
+        return True  # can't inspect the device -> assume tunneled
+    v = version.lower()
+    if "axon" in v or "proxy" in v or "ifrt" in v:
+        return True  # known tunnel/remote-runtime markers
+    # Positive direct-attachment evidence: a local TPU runtime identifies
+    # itself (libtpu / TFRT TPU) with no tunnel marker above.
+    return not ("tpu" in v and ("libtpu" in v or "tfrt" in v))
 
 
 def pallas_match_enabled() -> bool:

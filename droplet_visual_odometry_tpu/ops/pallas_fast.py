@@ -142,6 +142,10 @@ def _batch_fn(threshold: float, arc_length: int, tile_h: int, interpret: bool):
 
     @run.def_vmap
     def _rule(axis_size, in_batched, imgs):  # noqa: ANN001
+        if not in_batched[0]:
+            # imgs is an unbatched (broadcast) operand alongside some other
+            # mapped input: compute once and report the output unbatched.
+            return run(imgs), False
         b, n, h, w = imgs.shape
         out = run(imgs.reshape(b * n, h, w))
         return out.reshape(b, n, h, w), True
