@@ -166,6 +166,7 @@ def pose_graph_trajectory(
     vo_cfg,
     cfg: PoseGraphRefineConfig = None,
     pair_scale_ok: np.ndarray | None = None,  # (N-1,) live-marker-scale bits
+    mesh="auto",  # jax.sharding.Mesh | None | 'auto'
 ) -> tuple[np.ndarray, dict]:
     """BASELINE config #4: keyframes -> loop-closure retrieval/verification ->
     pose-graph optimisation -> trajectory correction.
@@ -174,6 +175,11 @@ def pose_graph_trajectory(
     the current keyframe-to-keyframe rels (zero residual by construction);
     loop edges contradict accumulated drift and the optimiser redistributes
     it along the chain (drift oracle anchor: traj_eval_ground_truth.py:279-298).
+
+    mesh: device mesh for the edge-sharded Hessian-vector products inside
+    pose_graph.optimize. 'auto' (default) shards over ALL addressable devices
+    when more than one exists — the production multi-chip path — and runs
+    single-device otherwise; None forces single-device.
     """
     cfg = cfg or PoseGraphRefineConfig()
     abs_poses = np.asarray(abs_poses, np.float64)
@@ -246,8 +252,25 @@ def pose_graph_trajectory(
         jnp.asarray(edges.scale_ok)[:, None, None], metric_w, free_w
     )
     graph = pose_graph.add_edges(graph, edges.i, edges.j, loop_meas, loop_w)
-    res = jax.jit(pose_graph.optimize, static_argnames="cfg")(graph, cfg.pg)
+
+    if isinstance(mesh, str) and mesh == "auto":
+        mesh = None
+        if len(jax.devices()) > 1:
+            from droplet_visual_odometry_tpu.parallel import sharding
+
+            mesh = sharding.make_mesh(axis_name="edges")
+
+    # Bucket (M, E) to powers of two so a growing (streaming) map reuses the
+    # compiled optimizer instead of retracing per graph size (r3 weak #6).
+    M = int(graph.poses.shape[0])
+    graph = pose_graph.pad_graph(
+        graph,
+        pose_graph.next_bucket(M),
+        pose_graph.next_bucket(int(graph.edge_i.shape[0])),
+    )
+    res = pose_graph.optimize_jit(graph, cfg.pg, mesh=mesh)
     info["pg_initial_cost"] = float(res.initial_cost)
     info["pg_final_cost"] = float(res.final_cost)
-    refined_kf = np.linalg.inv(np.asarray(res.poses, np.float64))
+    info["pg_mesh_devices"] = 1 if mesh is None else int(mesh.devices.size)
+    refined_kf = np.linalg.inv(np.asarray(res.poses, np.float64)[:M])
     return reanchor_segments(abs_poses, kf_idx, refined_kf), info

