@@ -56,6 +56,11 @@ class LoopClosureConfig:
     min_similarity: int = 60  # descriptor-match count to shortlist a pair
     match_max_distance: float = 64.0  # Hamming gate for retrieval counts
     min_inliers: int = 40  # RANSAC inliers to accept an edge
+    # Gate for caller-injected (extra_pairs) candidates — marker-gap bridges
+    # are wide-baseline pairs with legitimately fewer matches, and a missed
+    # bridge costs a whole gap of unconstrained drift, so the bar is lower
+    # (still well above the 8-point degenerate floor).
+    extra_min_inliers: int = 20
     suppress_radius: int = 2  # keyframes; near-duplicate pair suppression
     weight: float = 2.0  # pose-graph edge weight (sequential edges = 1)
     # Tier-1 global-descriptor retrieval: pairs surviving to the pairwise
@@ -172,8 +177,15 @@ def find_loop_closures(
     vo_cfg: VOConfig,
     cfg: LoopClosureConfig = LoopClosureConfig(),
     seed: int = 0,
+    extra_pairs: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> LoopEdges:
-    """Retrieval -> selection -> geometric verification. Returns accepted edges."""
+    """Retrieval -> selection -> geometric verification. Returns accepted edges.
+
+    extra_pairs: keyframe index pairs (a, b arrays) injected straight into
+    geometric verification, bypassing retrieval and min_gap — the caller
+    already knows they matter (e.g. marker-gap bridge pairs, refine.py).
+    They still must pass the RANSAC inlier gate to become edges.
+    """
     n_kf = int(kf_abs.shape[0])
     empty = LoopEdges(
         i=np.zeros(0, np.int64),
@@ -182,32 +194,44 @@ def find_loop_closures(
         scale_ok=np.zeros(0, bool),
         n_inliers=np.zeros(0, np.int64),
     )
-    if n_kf < cfg.min_gap + 2:
-        return empty
-    ia, ib = _shortlist_pairs(feats, n_kf, cfg.min_gap, cfg.shortlist)
-    counts = np.asarray(
-        _retrieval_counts(
-            feats.desc, feats.valid, jnp.asarray(ia), jnp.asarray(ib), cfg.match_max_distance
+    chosen_pairs: list[tuple[int, int]] = []
+    if n_kf >= cfg.min_gap + 2:
+        ia, ib = _shortlist_pairs(feats, n_kf, cfg.min_gap, cfg.shortlist)
+        counts = np.asarray(
+            _retrieval_counts(
+                feats.desc, feats.valid, jnp.asarray(ia), jnp.asarray(ib), cfg.match_max_distance
+            )
         )
-    )
 
-    # Greedy host-side selection with near-duplicate suppression.
-    order = np.argsort(-counts)
-    chosen: list[int] = []
-    for p in order:
-        if counts[p] < cfg.min_similarity or len(chosen) >= cfg.max_candidates:
-            break
-        if any(
-            abs(int(ia[p]) - int(ia[q])) <= cfg.suppress_radius
-            and abs(int(ib[p]) - int(ib[q])) <= cfg.suppress_radius
-            for q in chosen
-        ):
-            continue
-        chosen.append(int(p))
-    if not chosen:
+        # Greedy host-side selection with near-duplicate suppression.
+        order = np.argsort(-counts)
+        chosen: list[int] = []
+        for p in order:
+            if counts[p] < cfg.min_similarity or len(chosen) >= cfg.max_candidates:
+                break
+            if any(
+                abs(int(ia[p]) - int(ia[q])) <= cfg.suppress_radius
+                and abs(int(ib[p]) - int(ib[q])) <= cfg.suppress_radius
+                for q in chosen
+            ):
+                continue
+            chosen.append(int(p))
+        chosen_pairs = [(int(ia[p]), int(ib[p])) for p in chosen]
+    n_retrieved = len(chosen_pairs)
+    if extra_pairs is not None:
+        seen = set(chosen_pairs)
+        for a, b in zip(*extra_pairs):
+            pair = (int(a), int(b))
+            if pair not in seen and 0 <= pair[0] < pair[1] < n_kf:
+                chosen_pairs.append(pair)
+                seen.add(pair)
+    if not chosen_pairs:
         return empty
-    ca = ia[chosen]
-    cb = ib[chosen]
+    ca = np.asarray([p[0] for p in chosen_pairs], np.int32)
+    cb = np.asarray([p[1] for p in chosen_pairs], np.int32)
+    min_inl = np.where(
+        np.arange(len(ca)) < n_retrieved, cfg.min_inliers, cfg.extra_min_inliers
+    )
 
     # Geometric verification: vmapped two-frame VO over the candidates,
     # padded to the FIXED cfg.max_candidates (padding repeats candidate 0;
@@ -215,18 +239,21 @@ def find_loop_closures(
     # per feature shape, not once per candidate count or call.
     corners = jnp.nan_to_num(jnp.asarray(kf_corners, jnp.float32))
     mvalid = jnp.asarray(kf_marker_present)
-    n_c = len(chosen)
-    pad = cfg.max_candidates - n_c
+    n_c = len(ca)
+    n_slot = cfg.max_candidates
+    while n_slot < n_c:  # extra_pairs may exceed the cap; bucket by doubling
+        n_slot *= 2
+    pad = n_slot - n_c
     ca_p = np.concatenate([ca, np.full(pad, ca[0], ca.dtype)])
     cb_p = np.concatenate([cb, np.full(pad, cb[0], cb.dtype)])
-    keys = jax.random.split(jax.random.PRNGKey(seed), cfg.max_candidates)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_slot)
     res = _verify_candidates(
         feats, corners, mvalid, jnp.asarray(K), float(real_marker_length),
         vo_cfg, keys, jnp.asarray(ca_p), jnp.asarray(cb_p),
     )
     res = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_c], res)
 
-    ok = np.asarray(res.ok) & (np.asarray(res.n_inliers) >= cfg.min_inliers)
+    ok = np.asarray(res.ok) & (np.asarray(res.n_inliers) >= min_inl)
     if not ok.any():
         return empty
     ca, cb = ca[ok], cb[ok]

@@ -203,6 +203,31 @@ def pose_graph_trajectory(
     feats = detect_and_describe_batch(
         _frame_fetcher(frames)(kf_idx), k=cfg.n_keypoints, threshold=cfg.fast_threshold
     )
+
+    # Marker-gap BRIDGE pairs: the marker-bearing keyframes flanking each
+    # maximal marker-absent run get a direct candidate edge. The reference's
+    # valid-stream semantics pairs exactly these frames (gap frames never
+    # enter its stream, get_valid_message_stream.py:21-37), giving it one
+    # wide-baseline metric measurement where chained VO accumulates a whole
+    # held-scale span of drift — this recovers that advantage, with RANSAC
+    # verification instead of blind trust. Both flanking frames were forced
+    # into the keyframe set above.
+    bridge_a: list[int] = []
+    bridge_b: list[int] = []
+    if mp.any():
+        d = np.diff(mp.astype(np.int8))
+        gap_last_before = np.flatnonzero(d == -1)  # last marker frame pre-gap
+        gap_first_after = np.flatnonzero(d == 1) + 1  # first post-gap
+        kf_pos = {int(f): p for p, f in enumerate(kf_idx)}
+        for s in gap_last_before:
+            nxt = gap_first_after[gap_first_after > s]
+            if len(nxt) and int(s) in kf_pos and int(nxt[0]) in kf_pos:
+                bridge_a.append(kf_pos[int(s)])
+                bridge_b.append(kf_pos[int(nxt[0])])
+    extra = (
+        (np.asarray(bridge_a), np.asarray(bridge_b)) if bridge_a else None
+    )
+
     edges = loop_closure.find_loop_closures(
         feats,
         abs_poses[kf_idx],
@@ -212,7 +237,9 @@ def pose_graph_trajectory(
         real_marker_length,
         vo_cfg,
         cfg.lc,
+        extra_pairs=extra,
     )
+    info["n_bridge_pairs"] = len(bridge_a)
     info["n_loop_edges"] = int(len(edges.i))
     info["loop_pairs"] = list(zip(edges.i.tolist(), edges.j.tolist()))
     if len(edges.i) == 0:
