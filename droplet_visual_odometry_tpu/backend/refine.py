@@ -263,14 +263,26 @@ def pose_graph_trajectory(
         graph = graph._replace(edge_weight=jnp.asarray(seq_w))
 
     loop_meas = jnp.asarray(np.linalg.inv(edges.rel).astype(np.float32))
+    # Information scales with inlier support RELATIVE to the sequential
+    # chain's typical pair (variance of a RANSAC pose ~ 1/n_inliers): a
+    # wide-baseline loop edge verified on 60 inliers must not out-weigh a
+    # chain of 400-inlier pairs — fixed-weight edges measurably DEGRADED
+    # clean sequences (parity clean: pose_graph 0.18 vs none 0.09 ATE)
+    # while genuine revisits (near-identical views, high inliers) keep
+    # full weight.
+    seq_med = float(np.median(np.asarray(n_inliers))) if len(n_inliers) else 1.0
+    rel_prec = jnp.asarray(
+        np.clip(np.asarray(edges.n_inliers, np.float64) / max(seq_med, 1.0), 0.02, 2.0),
+        jnp.float32,
+    )
     # Metric edges (marker scale): isotropic information w*I6. Scale-free
     # edges: projector information — full rotation, direction-only
     # translation, ZERO along the measured |t| axis (VERDICT r2 #6: no
     # trajectory-implied magnitude is imposed anywhere).
-    metric_w = cfg.lc.weight * jnp.broadcast_to(
+    metric_w = (cfg.lc.weight * rel_prec)[:, None, None] * jnp.broadcast_to(
         jnp.eye(6, dtype=jnp.float32), (len(edges.i), 6, 6)
     )
-    free_w = pose_graph.scale_free_weight(
+    free_w = rel_prec[:, None, None] * pose_graph.scale_free_weight(
         loop_meas,
         w_rot=cfg.lc.weight * cfg.loop_rot_weight_scale_free,
         w_dir=cfg.lc.weight * cfg.loop_dir_weight_scale_free,

@@ -51,6 +51,11 @@ class VOConfig:
     ransac: RansacConfig = RansacConfig()
     min_matches: int = 12
     scale_side: str = "mean"  # 'mean' | 'reference' (single-side parity)
+    # 'gn': joint (marker pose, scale) Gauss-Newton on the known marker shape
+    # — robust to corner noise, where per-pair corner triangulation at VO
+    # baselines is several-fold biased (scale.py module docstring).
+    # 'triangulation': the reference's method (v3:263-291).
+    scale_estimator: str = "gn"
     # 'marker': per-pair marker scale, 1.0 fallback when absent (reference
     # behavior, v3:318-326). 'hold': forward-fill the last live marker scale
     # through marker-absent stretches (monocular scale cannot be re-derived
@@ -108,6 +113,7 @@ def two_frame_vo(
         real_marker_length,
         marker_valid,
         side=cfg.scale_side,
+        estimator=cfg.scale_estimator,
     )
     rel = se3.make_se3(R, t_unit * s)
     rel_unit = se3.make_se3(R, t_unit)

@@ -93,6 +93,37 @@ def nms3x3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= m, score, 0.0)
 
 
+def subpixel_refine(score_map: jax.Array, xy: jax.Array) -> jax.Array:
+    """Quadratic (per-axis parabola) sub-pixel localisation of score peaks.
+
+    Integer NMS maxima carry up to 0.5 px quantisation noise per axis —
+    directly visible as matched-point epipolar error and RANSAC inlier loss
+    at the 1 px reference threshold (v3:297-300). Fitting the 1-D parabola
+    through the 3-sample neighbourhood of the RAW (pre-NMS) score along each
+    axis and taking its vertex removes most of it. Offsets are clamped to
+    +-0.5 and applied only where the denominator confirms a local maximum.
+
+    score_map: (H, W) raw corner response. xy: (K, 2) integer-valued float
+    coords. Returns refined (K, 2) float coords.
+    """
+    h, w = score_map.shape
+    xi = xy[..., 0].astype(jnp.int32)
+    yi = xy[..., 1].astype(jnp.int32)
+
+    def at(dy: int, dx: int) -> jax.Array:
+        return score_map[jnp.clip(yi + dy, 0, h - 1), jnp.clip(xi + dx, 0, w - 1)]
+
+    s0 = at(0, 0)
+
+    def vertex(sm: jax.Array, sp: jax.Array) -> jax.Array:
+        den = sm - 2.0 * s0 + sp
+        d = jnp.where(den < -1e-9, 0.5 * (sm - sp) / den, 0.0)
+        return jnp.clip(d, -0.5, 0.5)
+
+    off = jnp.stack([vertex(at(0, -1), at(0, 1)), vertex(at(-1, 0), at(1, 0))], axis=-1)
+    return xy + off
+
+
 class Keypoints(NamedTuple):
     """Fixed-K keypoint set for one frame (invalid slots masked)."""
 

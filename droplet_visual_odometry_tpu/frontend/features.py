@@ -96,17 +96,26 @@ def _orb_level(
     n, lh, lw = level_imgs.shape
     score = _score_batch(level_imgs, threshold, arc_length)
     kps = jax.vmap(lambda s: fast.select_topk_rows(fast.nms3x3(s), k_level))(score)
-    blur = filters.gaussian_blur(level_imgs, sigma=2.0, radius=4)
+    blur = filters.gaussian_blur(
+        level_imgs, sigma=2.0, radius=4, compute_dtype=jnp.bfloat16
+    )
     desc, ang = describe_batch(blur, kps.xy)
 
     # Border check in LEVEL pixels (the descriptor patch lives at this level).
     x, y = kps.xy[..., 0], kps.xy[..., 1]
     interior = (x >= HALF) & (x < lw - HALF) & (y >= HALF) & (y < lh - HALF)
 
+    # Sub-pixel peak localisation on the RAW score map (the NMS'd map has
+    # zeroed neighbourhoods); descriptors above intentionally sample at the
+    # integer locations (the patch grid is integer anyway), only the
+    # geometry-facing coords are refined.
+    xy_ref = jax.vmap(fast.subpixel_refine)(score, kps.xy)
+    xr, yr = xy_ref[..., 0], xy_ref[..., 1]
+
     # Level -> level-0 coords under resize's pixel-center convention:
     # output pixel i samples input at (i + 0.5) * scale - 0.5.
     sx, sy = w0 / lw, h0 / lh
-    xy0 = jnp.stack([(x + 0.5) * sx - 0.5, (y + 0.5) * sy - 0.5], axis=-1)
+    xy0 = jnp.stack([(xr + 0.5) * sx - 0.5, (yr + 0.5) * sy - 0.5], axis=-1)
     return Features(
         xy=xy0, score=kps.score, angle=ang, desc=desc, valid=kps.valid & interior
     )

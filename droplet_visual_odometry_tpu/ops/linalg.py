@@ -139,5 +139,15 @@ def svd3x3(E: jax.Array, jacobi_sweeps: int = 6) -> tuple[jax.Array, jax.Array, 
     # Third left vector via cross product (robust when s3 ~ 0, the essential case).
     U2 = jnp.cross(U0, U1)
     U2 = U2 / jnp.maximum(jnp.linalg.norm(U2, axis=-1, keepdims=True), 1e-30)
+    # The cross imposes a right-handed U. When the orthogonalised matrix's
+    # actual third column points the OTHER way (a tie-breaking sort
+    # permutation with near-equal singular values can leave det(A_sorted)
+    # = -1 — hit in practice on rotation-matrix input, where all three
+    # singular values tie at 1), V's third column must flip with it or
+    # U S V^T reconstructs a reflection of the input. sign(dot)=0 (the
+    # rank-deficient essential case, s3 ~ 0) keeps the old convention.
+    s3 = jnp.sign(jnp.sum(A[..., :, 2] * U2, axis=-1))
+    s3 = jnp.where(s3 == 0, 1.0, s3)
+    V = V.at[..., :, 2].multiply(s3[..., None])
     U = jnp.stack([U0, U1, U2], axis=-1)
     return U, S, jnp.swapaxes(V, -1, -2)

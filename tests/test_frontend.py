@@ -51,6 +51,22 @@ class TestFast:
         for cx, cy in [(20, 20), (39, 20), (20, 39), (39, 39)]:
             assert any(abs(x - cx) <= 2 and abs(y - cy) <= 2 for x, y in got), (cx, cy, got)
 
+    def test_subpixel_refine_recovers_fraction(self):
+        """A quadratic score bump centred off-grid must be localised to its
+        true sub-pixel vertex (the separable parabola is exact here)."""
+        cx, cy = 20.3, 10.6
+        yy, xx = np.mgrid[0:32, 0:48].astype(np.float32)
+        s = np.maximum(0.0, 100.0 - 4.0 * (xx - cx) ** 2 - 4.0 * (yy - cy) ** 2)
+        xy_int = jnp.asarray([[20.0, 11.0]])  # integer argmax
+        out = np.asarray(fast.subpixel_refine(jnp.asarray(s), xy_int))[0]
+        assert abs(out[0] - cx) < 0.05 and abs(out[1] - cy) < 0.05, out
+
+    def test_subpixel_refine_noop_on_plateau(self):
+        s = jnp.zeros((16, 16))
+        xy = jnp.asarray([[8.0, 8.0]])
+        out = np.asarray(fast.subpixel_refine(s, xy))[0]
+        np.testing.assert_array_equal(out, [8.0, 8.0])
+
     def test_flat_image_no_corners(self):
         img = jnp.full((64, 64), 100.0)
         kps = fast.detect(img, k=16)
