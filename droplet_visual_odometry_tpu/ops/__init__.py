@@ -45,18 +45,19 @@ def interpret_mode() -> bool:
 # the axon tunnel surfaced that lowering failure as a runtime hang instead of
 # an error. Fixed (i32 iota + convert, pallas_match.py); the fix is pinned by
 # a cross-platform TPU-lowering regression test that runs on the CPU host
-# (tests/test_ops_pallas.py::test_match_kernel_lowers_for_tpu — the Mosaic
-# verifier runs at lowering, no device needed) plus the interpreter
-# bit-equivalence suite. After the fix the kernel verified, compiled, and
-# executed on the real chip (AOT lower/compile/execute, ~1 s), but dispatch-
-# path executions were still observed to hang the shared tunnel runtime in a
-# way that persists across processes — a tunnel-level liability independent
-# of kernel semantics. Disposition (round 3): the kernel is promoted to
-# DEFAULT-ON on directly-attached TPU (where dispatch is ordinary PJRT and
-# the AOT lower/compile/execute path was verified good), and stays opt-in
-# under the axon tunnel only — re-probing the dispatch hang there risks
-# wedging the shared tunnel for every later process. DVO_PALLAS_MATCH=1/0
-# overrides either way.
+# (tests/test_ops_pallas.py::test_match_kernel_lowers_for_tpu) plus the
+# interpreter bit-equivalence suite.
+#
+# Disposition (round 4, MEASURED — tools/aot_match_bench.py on the real
+# chip, AOT lower/compile/execute with dispatch overhead cancelled via
+# in-program fori_loop deltas): XLA 10.9 / 19.0 / 48.7 us-per-match at
+# K=512/1024/2048 vs Pallas 10.8 / 28.8 / COMPILE-FAILURE (the (K, K) f32
+# distance matrix overflows VMEM at 2048). The fused kernel ties at the
+# production K=512 and loses beyond it, so the XLA matcher is the DEFAULT
+# on every backend; the kernel remains available via DVO_PALLAS_MATCH=1
+# (or set_pallas(True)) as a building block should a tiled variant make it
+# worthwhile. This replaces round 3's unmeasured default-on for directly
+# attached TPUs. Numbers committed in PERF.md.
 _MATCH_KERNEL_ENV = os.environ.get("DVO_PALLAS_MATCH")
 
 
@@ -88,7 +89,7 @@ def pallas_match_enabled() -> bool:
         return True
     if _MATCH_KERNEL_ENV is not None:
         return _MATCH_KERNEL_ENV not in ("0", "false", "False")
-    return pallas_enabled() and not _tunneled_tpu()
+    return False  # measured: XLA matcher >= fused kernel at every K (above)
 
 
 # Per-keypoint patch extraction as batched async DMAs (ops/pallas_patches.py).

@@ -187,24 +187,23 @@ def test_match_kernel_lowers_for_tpu():
     assert "tpu_custom_call" in lowered.as_text()
 
 
-def test_match_kernel_default_on_for_direct_tpu(monkeypatch):
-    """Round-3 disposition: the fused matcher defaults ON for a directly
-    attached TPU, stays OPT-IN under the axon tunnel (whose dispatch path
-    can wedge persistently), and DVO_PALLAS_MATCH overrides both."""
+def test_match_kernel_default_off_everywhere(monkeypatch):
+    """Round-4 disposition (MEASURED, tools/aot_match_bench.py + PERF.md):
+    the XLA matcher ties the fused kernel at the production K=512, beats it
+    at 1024, and the kernel cannot compile at 2048 — so it is OPT-IN only
+    (DVO_PALLAS_MATCH=1 / set_pallas(True)), on every backend."""
     from droplet_visual_odometry_tpu import ops
 
     monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", None)
     monkeypatch.setattr(ops, "_FORCE", None)
 
     monkeypatch.setattr(ops.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(ops, "_tunneled_tpu", lambda: False)
-    assert ops.pallas_match_enabled()
-
-    monkeypatch.setattr(ops, "_tunneled_tpu", lambda: True)
     assert not ops.pallas_match_enabled()
 
     monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", "1")
     assert ops.pallas_match_enabled()
     monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", "0")
-    monkeypatch.setattr(ops, "_tunneled_tpu", lambda: False)
     assert not ops.pallas_match_enabled()
+    monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", None)
+    monkeypatch.setattr(ops, "_FORCE", True)
+    assert ops.pallas_match_enabled()
