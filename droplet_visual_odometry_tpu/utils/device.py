@@ -17,6 +17,30 @@ import subprocess
 import sys
 
 
+def machine_cache_dir(base: str = "/tmp/dvo_jax_cache") -> str:
+    """Compilation-cache directory keyed by this host's CPU feature set.
+
+    XLA:CPU persistent-cache entries embed AOT-compiled machine code for the
+    COMPILING host's vector extensions; on a host with a different feature
+    set the loader warns about SIGILL risk and has segfaulted this project's
+    test suite mid-run. Salting the directory with a hash of the cpuinfo
+    flags makes each machine type use its own cache.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    salt = hashlib.md5(line.encode()).hexdigest()[:10]
+                    break
+            else:
+                salt = "noflags"
+    except OSError:
+        salt = "nocpuinfo"
+    return f"{base}_{salt}"
+
+
 def probe_default_device(timeout_s: float = 480.0) -> bool:
     """True if the default JAX device completes a trivial program promptly.
 

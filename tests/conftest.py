@@ -22,9 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache keeps repeat test runs fast on the slow CPU
 # backend. Env vars are too late here (sitecustomize already imported jax,
 # same reason jax_platforms uses jax.config above) — set via config.
-jax.config.update("jax_compilation_cache_dir", "/tmp/dvo_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The directory is keyed by the host's CPU feature set: XLA:CPU AOT
+# artifacts are machine-specific, and loading an entry cached by a host
+# with different vector extensions has SEGFAULTED this suite mid-run
+# (the loader itself warns "could lead to execution errors such as SIGILL").
+from droplet_visual_odometry_tpu.utils.device import machine_cache_dir  # noqa: E402
+
+if not os.environ.get("DVO_DISABLE_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", machine_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_sessionstart(session):
@@ -41,11 +48,27 @@ def pytest_addoption(parser):
     )
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _unload_jax_executables_per_module():
+    """Environment workaround: this image's XLA:CPU JIT segfaults when
+    loading a NEW executable into a process that already holds ~200 live
+    compiled programs (reproduced 7x: always the latest fresh compile or
+    cache-deserialize in full-suite order — the same operation succeeds in a
+    fresh or half-suite process, with and without the persistent cache, and
+    moves to a different victim when test order changes). Dropping the jit
+    caches after each test module keeps the live-executable count low; the
+    persistent disk cache makes any cross-module recompiles cheap reloads.
+    """
+    yield
+    jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow"):
         return
-    import pytest
-
     skip = pytest.mark.skip(reason="soak test; opt in with --runslow")
     for item in items:
         if "slow" in item.keywords:
