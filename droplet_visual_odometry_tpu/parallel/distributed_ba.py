@@ -79,7 +79,7 @@ def run_ba_distributed(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis), P(None, axis), P(None, axis), P()),
-        out_specs=(P(), P(axis), P(), P()),
+        out_specs=(P(), P(axis), P(), P(), P()),
     )
     def optimize_shard(poses, points, obs_uv, obs_mask, K):
         def total_cost(poses, points):
@@ -154,27 +154,36 @@ def run_ba_distributed(
         poses, points, _, cost = jax.lax.fori_loop(
             0, cfg.iters, step, (poses, points, cfg.init_lambda, cost0)
         )
-        return poses, points, cost0, cost
+
+        # Final unweighted RMS inside the mesh (two psums) — in multi-process
+        # runs the sharded landmark axis is not host-addressable, so the RMS
+        # cannot be a host-side afterthought.
+        p, uv = ba._project(poses, points, K)
+        r = uv - obs_uv
+        valid = obs_mask & (p[..., 2] > min_depth)
+        sq = jax.lax.psum(jnp.sum(jnp.where(valid, jnp.sum(r * r, -1), 0.0)), axis)
+        n = jax.lax.psum(jnp.sum(valid), axis)
+        rms = jnp.sqrt(sq / jnp.maximum(n, 1))
+        return poses, points, cost0, cost, rms
 
     jfn = jax.jit(
         optimize_shard,
         in_shardings=(repl, lm_sh, obs_sh, obs_sh, repl),
-        out_shardings=(repl, lm_sh, repl, repl),
+        out_shardings=(repl, lm_sh, repl, repl, repl),
     )
-    poses, points, cost0, cost = jfn(
-        window.poses, window.points, window.obs_uv, window.obs_mask, window.K
-    )
+    if jax.process_count() > 1:
+        from droplet_visual_odometry_tpu.parallel.sharding import global_array
 
-    # Final RMS (host-side convenience, replicated math).
-    _, r, wgt = ba.reprojection_cost(
-        ba.BAWindow(poses, points, window.obs_uv, window.obs_mask, window.K),
-        poses,
-        points,
-        cfg.huber_px,
-        cfg.min_depth,
-    )
-    n = jnp.maximum(jnp.sum(wgt > 0), 1)
-    rms = jnp.sqrt(jnp.sum(jnp.where(wgt > 0, jnp.sum(r * r, -1), 0.0)) / n)
+        args = (
+            global_array(mesh, P(), window.poses),
+            global_array(mesh, P(axis), window.points),
+            global_array(mesh, P(None, axis), window.obs_uv),
+            global_array(mesh, P(None, axis), window.obs_mask),
+            global_array(mesh, P(), window.K),
+        )
+    else:
+        args = (window.poses, window.points, window.obs_uv, window.obs_mask, window.K)
+    poses, points, cost0, cost, rms = jfn(*args)
     return ba.BAResult(
         poses=poses, points=points, initial_cost=cost0, final_cost=cost, rms_px=rms
     )

@@ -31,7 +31,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from droplet_visual_odometry_tpu.parallel import sharding
+# NOTE: no package imports at module level beyond the (config-only) package
+# root — `initialize()` must run before anything touches the XLA backend,
+# and several compute modules create small device constants at import time.
+# The sharding/measurement imports below are deferred into the functions.
 
 
 def initialize(
@@ -56,6 +59,16 @@ def initialize(
 
     if coordinator_address is None and num_processes in (None, 1):
         return False  # single-process: nothing to initialize
+
+    # Multi-process on the CPU backend (virtual-mesh testing / CI) needs an
+    # explicit cross-process collectives implementation; TPU slices use the
+    # native ICI/DCN path and ignore this.
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if str(platforms).startswith("cpu"):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
 
     try:
         jax.distributed.initialize(
@@ -109,10 +122,16 @@ def measure_scaling_pair_vo(
     from droplet_visual_odometry_tpu.data import synthetic
     from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
     from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+    from droplet_visual_odometry_tpu.parallel import sharding
 
     devs = jax.devices()
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8) if n <= len(devs)]
+    if jax.process_count() > 1:
+        # Multi-controller: every process must participate in every
+        # computation, so sub-meshes that exclude a process's devices are
+        # not measurable — scale over the full global mesh only.
+        device_counts = [n for n in device_counts if n == len(devs)] or [len(devs)]
 
     max_pairs = max(device_counts) * pairs_per_device
     seq = synthetic.render_sequence(
@@ -175,11 +194,13 @@ def measure_scaling_ba(
     shard; throughput unit is landmarks/s through the LM loop."""
     from droplet_visual_odometry_tpu.backend import ba
     from droplet_visual_odometry_tpu.core import se3
-    from droplet_visual_odometry_tpu.parallel import distributed_ba
+    from droplet_visual_odometry_tpu.parallel import distributed_ba, sharding
 
     devs = jax.devices()
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8) if n <= len(devs)]
+    if jax.process_count() > 1:
+        device_counts = [n for n in device_counts if n == len(devs)] or [len(devs)]
 
     rng = np.random.default_rng(0)
     K = jnp.asarray([[200.0, 0, 64], [0, 200.0, 48], [0, 0, 1]], jnp.float32)

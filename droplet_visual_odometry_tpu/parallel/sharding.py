@@ -36,6 +36,23 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "frames") -> Mesh:
     return Mesh(np.asarray(devs[:n_devices]), (axis_name,))
 
 
+def global_array(mesh: Mesh, spec: P, arr) -> jax.Array:
+    """Build a global device array under (mesh, spec) from a FULL host copy.
+
+    Single-process: a plain device_put. Multi-process (jax.distributed): each
+    process serves the shards it addresses from its own full copy via
+    make_array_from_callback — the standard way to materialise inputs on a
+    global mesh when every host computes/loads the same logical array (our
+    synthetic batches and replicated scalars). Data-parallel production
+    ingest would pass per-host slices instead; the callback form covers both.
+    """
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sh)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(host.shape, sh, lambda idx: host[idx])
+
+
 def pair_vo_batched(
     key: jax.Array,
     frames_prev: jax.Array,  # (B, H, W)
@@ -99,4 +116,14 @@ def shard_pair_vo(
         in_shardings=(repl_sh, data_sh, data_sh, data_sh, data_sh, data_sh, repl_sh),
         out_shardings=data_sh,
     )
+    if jax.process_count() > 1:
+        # Host-local arrays cannot be auto-placed onto non-addressable
+        # devices; build true global arrays first (DCN path, launch.py).
+        key = global_array(mesh, P(), key)
+        frames_prev = global_array(mesh, P(axis), frames_prev)
+        frames_curr = global_array(mesh, P(axis), frames_curr)
+        corners_prev = global_array(mesh, P(axis), corners_prev)
+        corners_curr = global_array(mesh, P(axis), corners_curr)
+        marker_valid = global_array(mesh, P(axis), marker_valid)
+        K = global_array(mesh, P(), K)
     return jfn(key, frames_prev, frames_curr, corners_prev, corners_curr, marker_valid, K)
