@@ -115,15 +115,36 @@ def project_to_essential(E: jax.Array) -> jax.Array:
 def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     """First-order geometric (Sampson) error, batched.
 
-    E: (..., 3, 3); x1, x2: (N, 3) or broadcastable. Returns (..., N).
+    E: (..., 3, 3); x1, x2: (N, 3). Returns (..., N).
+
+    Structured as three clean 2-D dot_generals with (..., 3, N) / (..., N)
+    outputs: the naive einsum formulation materialises (..., N, 3)
+    intermediates whose layout transposes dominated the whole RANSAC stage
+    on TPU (tools/ransac_bench.py) — the epipolar dot x2^T E x1 is instead
+    one (..., 9) x (9, N) matmul against the precomputable kron rows, and
+    the two gradient-norm terms keep the MXU-native (..., 3, N) layout.
     """
-    Ex1 = jnp.einsum("...ij,nj->...ni", E, x1)
-    Etx2 = jnp.einsum("...ji,nj->...ni", E, x2)
-    num = jnp.einsum("ni,...ni->...n", x2, Ex1) ** 2
-    den = (
-        Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    nd = E.ndim
+    # x2^T E x1 for all (hypothesis, point): vec(E) . kron(x2, x1).
+    Ef = E.reshape(E.shape[:-2] + (9,))
+    A = (x2[:, :, None] * x1[:, None, :]).reshape(x1.shape[0], 9)  # (N, 9)
+    num_s = jax.lax.dot_general(
+        Ef, A, (((nd - 2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (..., N)
+    # (E x1)_i and (E^T x2)_j rows, kept as (..., 3, N) — no transposes.
+    Ex1 = jax.lax.dot_general(
+        E, x1, (((nd - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    return num / jnp.maximum(den, 1e-12)
+    Etx2 = jax.lax.dot_general(
+        E, x2, (((nd - 2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    den = (
+        Ex1[..., 0, :] ** 2
+        + Ex1[..., 1, :] ** 2
+        + Etx2[..., 0, :] ** 2
+        + Etx2[..., 1, :] ** 2
+    )
+    return num_s**2 / jnp.maximum(den, 1e-12)
 
 
 def decompose_essential(E: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -30,17 +30,30 @@ def _pad_replicate(a: jax.Array, r: int, axis: int) -> jax.Array:
     )
 
 
-def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int | None = None) -> jax.Array:
+def gaussian_blur(
+    img: jax.Array,
+    sigma: float = 2.0,
+    radius: int | None = None,
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
     """Separable Gaussian blur of (..., H, W) float images (edge-replicated).
 
     Implemented as shift-and-add (2*(2r+1) scaled slice-adds on the VPU), NOT
     as lax.conv: a single-channel conv cannot feed the MXU's 128x128 systolic
     array and measured ~40 ms/frame at 1080p on v5e — the shift form is pure
     elementwise bandwidth, ~100x faster.
+
+    compute_dtype=bfloat16 halves the HBM traffic of this bandwidth-bound
+    stage (output cast back to the input dtype). Right for consumers that
+    binarise smoothed intensities (ORB descriptor sampling: ~0.4% rounding on
+    a [0, 255] surface); keep f32 where small DIFFERENCES matter (SIFT DoG).
     """
     if radius is None:
         radius = max(1, int(3.0 * sigma + 0.5))
     taps = _gaussian_taps(float(sigma), radius)
+    in_dtype = img.dtype
+    if compute_dtype is not None:
+        img = img.astype(compute_dtype)
 
     h, w = img.shape[-2], img.shape[-1]
     x = _pad_replicate(img, radius, img.ndim - 2)
@@ -53,6 +66,8 @@ def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int | None = None)
     for i, t in enumerate(taps):
         sl = jax.lax.slice_in_dim(x, i, i + w, axis=img.ndim - 1) * t
         acc = sl if acc is None else acc + sl
+    if compute_dtype is not None and acc.dtype != in_dtype:
+        acc = acc.astype(in_dtype)
     return acc
 
 
