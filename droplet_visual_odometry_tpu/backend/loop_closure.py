@@ -55,7 +55,29 @@ class LoopClosureConfig:
     max_candidates: int = 8  # verified pairs per run
     min_similarity: int = 60  # descriptor-match count to shortlist a pair
     match_max_distance: float = 64.0  # Hamming gate for retrieval counts
-    min_inliers: int = 40  # RANSAC inliers to accept an edge
+    # Inlier bar for RETRIEVAL-sourced edges. Deliberately high: with the
+    # sub-pixel frontend the sequential chain tracks at ~0.1 deg/pair, so a
+    # mid-quality oblique-view edge (60-150 inliers) injects more rotation
+    # error than the drift it corrects (measured on the parity scenarios:
+    # such edges made pose_graph WORSE than raw chaining). Genuine revisits
+    # — the pairs loop closure exists for — match near-identical views with
+    # hundreds of inliers and clear the bar.
+    min_inliers: int = 100
+    # RANSAC budget for VERIFICATION. Loop candidates are wide-baseline,
+    # low-inlier-ratio pairs — the regime where the sequential pipeline's
+    # (cheap) hypothesis budget is NOT enough: halving the pipeline default
+    # to 512 left sequential accuracy unchanged but visibly degraded loop
+    # edges (parity clean/pose_graph regressed) until verification got its
+    # own budget back.
+    verify_hypotheses: int = 1024
+    verify_lo_hypotheses: int = 256
+    # Independent RANSAC restarts per candidate, best-by-inliers kept. At a
+    # wide-baseline 40% inlier ratio an 8-point minimal sample is all-inlier
+    # with p ~ 0.4^8 = 0.07%, so a single 1024-hypothesis run expects <1
+    # clean sample and its pose is a coin flip (measured 0.06..10.5 deg
+    # rotation error across PRNG keys, with inlier count tracking quality);
+    # restarts + consensus selection make verification reliable.
+    verify_restarts: int = 4
     # Gate for caller-injected (extra_pairs) candidates — marker-gap bridges
     # are wide-baseline pairs with legitimately fewer matches, and a missed
     # bridge costs a whole gap of unconstrained drift, so the bar is lower
@@ -186,6 +208,14 @@ def find_loop_closures(
     already knows they matter (e.g. marker-gap bridge pairs, refine.py).
     They still must pass the RANSAC inlier gate to become edges.
     """
+    vo_cfg = dataclasses.replace(
+        vo_cfg,
+        ransac=dataclasses.replace(
+            vo_cfg.ransac,
+            n_hypotheses=max(vo_cfg.ransac.n_hypotheses, cfg.verify_hypotheses),
+            lo_hypotheses=max(vo_cfg.ransac.lo_hypotheses, cfg.verify_lo_hypotheses),
+        ),
+    )
     n_kf = int(kf_abs.shape[0])
     empty = LoopEdges(
         i=np.zeros(0, np.int64),
@@ -244,14 +274,23 @@ def find_loop_closures(
     while n_slot < n_c:  # extra_pairs may exceed the cap; bucket by doubling
         n_slot *= 2
     pad = n_slot - n_c
-    ca_p = np.concatenate([ca, np.full(pad, ca[0], ca.dtype)])
-    cb_p = np.concatenate([cb, np.full(pad, cb[0], cb.dtype)])
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_slot)
+    R = max(1, cfg.verify_restarts)
+    # Layout (R, n_slot) flattened: each candidate verified under R
+    # independent keys; best-by-inlier-count wins (see verify_restarts).
+    ca_p = np.tile(np.concatenate([ca, np.full(pad, ca[0], ca.dtype)]), R)
+    cb_p = np.tile(np.concatenate([cb, np.full(pad, cb[0], cb.dtype)]), R)
+    keys = jax.random.split(jax.random.PRNGKey(seed), R * n_slot)
     res = _verify_candidates(
         feats, corners, mvalid, jnp.asarray(K), float(real_marker_length),
         vo_cfg, keys, jnp.asarray(ca_p), jnp.asarray(cb_p),
     )
-    res = jax.tree_util.tree_map(lambda a: np.asarray(a)[:n_c], res)
+    res = jax.tree_util.tree_map(
+        lambda a: np.asarray(a).reshape((R, n_slot) + np.asarray(a).shape[1:]), res
+    )
+    best_r = np.argmax(res.n_inliers, axis=0)  # (n_slot,)
+    res = jax.tree_util.tree_map(
+        lambda a: a[best_r, np.arange(n_slot)][:n_c], res
+    )
 
     ok = np.asarray(res.ok) & (np.asarray(res.n_inliers) >= min_inl)
     if not ok.any():

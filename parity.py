@@ -358,10 +358,13 @@ def main(argv=None) -> int:
     ap.add_argument("--scenario", default=None, help="run a single scenario")
     args = ap.parse_args(argv)
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from droplet_visual_odometry_tpu.utils.device import machine_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", machine_cache_dir())
 
     results = {}
     scen = scenarios(args.quick)

@@ -334,7 +334,7 @@ class TestPoseGraphPCG:
         cfg = pose_graph.PoseGraphConfig(iters=2, cg_iters=10)
         before = pose_graph.optimize_jit._cache_size()
         buckets = set()
-        for M in range(5, 41, 3):  # 12 distinct graph sizes
+        for M in range(5, 41, 6):  # 6 distinct graph sizes
             g, _ = self._noisy_loop_graph(M=M, loops=((0, M - 1),))
             mb = pose_graph.next_bucket(M)
             eb = pose_graph.next_bucket(int(g.edge_i.shape[0]))

@@ -129,10 +129,17 @@ class TestDebugImagery:
         from droplet_visual_odometry_tpu.data import synthetic
         from droplet_visual_odometry_tpu.estimation.vo import VOConfig
 
+        from droplet_visual_odometry_tpu.estimation.ransac import RansacConfig
+
         seq = synthetic.render_sequence(
             synthetic.SyntheticConfig(n_frames=4, width=320, height=240, n_landmarks=200)
         )
-        paths = pipeline.dump_match_images(seq, VOConfig(), str(tmp_path), n_pairs=2)
+        cfg = VOConfig(
+            n_keypoints=128,
+            n_levels=2,
+            ransac=RansacConfig(n_hypotheses=128, lo_hypotheses=32),
+        )
+        paths = pipeline.dump_match_images(seq, cfg, str(tmp_path), n_pairs=2)
         import os
 
         assert len(paths) >= 3  # 2 match images + keypoint overlay (+ corners)

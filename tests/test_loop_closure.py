@@ -129,15 +129,18 @@ class TestPoseGraphBackend:
 class TestMarkerGapBridge:
     @pytest.fixture(scope="class")
     def gap_seq(self):
+        # Same shape family as loop_seq so run_experiment's compiled
+        # programs are shared with the TestPoseGraphBackend fixtures
+        # (suite-wall budget).
         seq = synthetic.render_sequence(
             synthetic.SyntheticConfig(
-                n_frames=48, width=448, height=336, n_landmarks=350, seed=3
+                n_frames=36, width=448, height=336, n_landmarks=350, seed=3
             )
         )
         present = seq.marker_present.copy()
         corners = seq.marker_corners.copy()
-        present[16:32] = False
-        corners[16:32] = np.nan
+        present[12:24] = False
+        corners[12:24] = np.nan
         return dataclasses.replace(seq, marker_present=present, marker_corners=corners)
 
     def test_bridge_edge_accepted_and_used(self, gap_seq, vo_cfg):
