@@ -51,19 +51,27 @@ def pytest_addoption(parser):
 import pytest  # noqa: E402
 
 
+_MODULES_SINCE_CLEAR = {"n": 0}
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _unload_jax_executables_per_module():
+def _unload_jax_executables_periodically():
     """Environment workaround: this image's XLA:CPU JIT segfaults when
     loading a NEW executable into a process that already holds ~200 live
     compiled programs (reproduced 7x: always the latest fresh compile or
     cache-deserialize in full-suite order — the same operation succeeds in a
     fresh or half-suite process, with and without the persistent cache, and
     moves to a different victim when test order changes). Dropping the jit
-    caches after each test module keeps the live-executable count low; the
-    persistent disk cache makes any cross-module recompiles cheap reloads.
+    caches every couple of test modules keeps the live-executable count far
+    below the crash threshold (heaviest module ~40 programs vs ~200) while
+    bounding the recompile cost; the persistent disk cache makes the
+    cross-module recompiles cheap reloads.
     """
     yield
-    jax.clear_caches()
+    _MODULES_SINCE_CLEAR["n"] += 1
+    if _MODULES_SINCE_CLEAR["n"] >= 2:
+        _MODULES_SINCE_CLEAR["n"] = 0
+        jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):
