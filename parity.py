@@ -381,6 +381,11 @@ def main(argv=None) -> int:
         print("wrote PARITY.md", file=sys.stderr)
 
     # Exit nonzero if any scenario's best-ours loses to the best reference.
+    # Full mode only: --quick shrinks sequences AND skips the ba/pose_graph
+    # backends, so its margins are not the committed claim (PARITY.md).
+    if args.quick:
+        print("quick mode: smoke only, exit gate skipped (see PARITY.md)", file=sys.stderr)
+        return 0
     for name, rows in results.items():
         best_ref = min(v["ate_rmse_m"] for k, v in rows.items() if k.startswith("reference"))
         best_ours = min(v["ate_rmse_m"] for k, v in rows.items() if k.startswith("ours"))
