@@ -287,7 +287,17 @@ def find_loop_closures(
     res = jax.tree_util.tree_map(
         lambda a: np.asarray(a).reshape((R, n_slot) + np.asarray(a).shape[1:]), res
     )
-    best_r = np.argmax(res.n_inliers, axis=0)  # (n_slot,)
+    # Restart winner: only ok restarts may win (an invalid fit with more
+    # chance-consistent inliers must not displace a valid one), and among
+    # equal inlier counts prefer a restart that recovered metric scale
+    # (advisor r4: argmax(n_inliers) alone could demote a loop edge to
+    # scale-free or drop it).
+    score = np.where(
+        np.asarray(res.ok),
+        np.asarray(res.n_inliers, np.int64) * 2 + np.asarray(res.scale_ok, np.int64),
+        -1,
+    )
+    best_r = np.argmax(score, axis=0)  # (n_slot,)
     res = jax.tree_util.tree_map(
         lambda a: a[best_r, np.arange(n_slot)][:n_c], res
     )

@@ -88,7 +88,13 @@ def pallas_match_enabled() -> bool:
     if _FORCE is True:
         return True
     if _MATCH_KERNEL_ENV is not None:
-        return _MATCH_KERNEL_ENV not in ("0", "false", "False")
+        enabled = _MATCH_KERNEL_ENV not in ("0", "false", "False")
+        if enabled and jax.default_backend() == "tpu" and _tunneled_tpu():
+            # Tunnel-wedge guard stays armed even for the manual opt-in
+            # (advisor r4): dispatching the fused kernel over the tunnel can
+            # wedge the shared runtime for every process.
+            return False
+        return enabled
     return False  # measured: XLA matcher >= fused kernel at every K (above)
 
 

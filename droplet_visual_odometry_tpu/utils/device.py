@@ -17,7 +17,7 @@ import subprocess
 import sys
 
 
-def machine_cache_dir(base: str = "/tmp/dvo_jax_cache") -> str:
+def machine_cache_dir(base: str | None = None) -> str:
     """Compilation-cache directory keyed by this host's CPU feature set.
 
     XLA:CPU persistent-cache entries embed AOT-compiled machine code for the
@@ -25,8 +25,15 @@ def machine_cache_dir(base: str = "/tmp/dvo_jax_cache") -> str:
     set the loader warns about SIGILL risk and has segfaulted this project's
     test suite mid-run. Salting the directory with a hash of the cpuinfo
     flags makes each machine type use its own cache.
+
+    The default base is keyed by UID (advisor r4: a fixed shared /tmp path
+    could be pre-created by another local user, poisoning the executables
+    every entry point loads).
     """
     import hashlib
+
+    if base is None:
+        base = f"/tmp/dvo_jax_cache_u{os.getuid()}"
 
     try:
         with open("/proc/cpuinfo") as f:

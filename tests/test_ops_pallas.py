@@ -200,8 +200,13 @@ def test_match_kernel_default_off_everywhere(monkeypatch):
     monkeypatch.setattr(ops.jax, "default_backend", lambda: "tpu")
     assert not ops.pallas_match_enabled()
 
+    # Env opt-in honours the tunnel-wedge guard (advisor r4): enabled only on
+    # a directly-attached TPU, refused on a tunneled one.
     monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", "1")
+    monkeypatch.setattr(ops, "_tunneled_tpu", lambda: False)
     assert ops.pallas_match_enabled()
+    monkeypatch.setattr(ops, "_tunneled_tpu", lambda: True)
+    assert not ops.pallas_match_enabled()
     monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", "0")
     assert not ops.pallas_match_enabled()
     monkeypatch.setattr(ops, "_MATCH_KERNEL_ENV", None)
