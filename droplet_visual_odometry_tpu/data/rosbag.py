@@ -15,7 +15,7 @@ Container format essentials:
     u32 data_len, data;
   * record kinds by the `op` header byte: 0x03 bag header, 0x07 connection
     (data = the connection header: topic/type/md5sum/message_definition),
-    0x05 chunk (`compression` none|bz2; data = nested connection/message
+    0x05 chunk (`compression` none|bz2|lz4; data = nested connection/message
     records), 0x02 message data (conn id + time; data = the serialized
     message), 0x04 index data / 0x06 chunk info (skipped).
 
@@ -232,13 +232,16 @@ def _decompress(compression: bytes, data: memoryview) -> memoryview:
         return memoryview(bz2.decompress(data))
     if compression == b"lz4":
         try:
-            import lz4.frame  # not in the baked image; gate, don't require
-        except ImportError as e:
-            raise NotImplementedError(
-                "bag uses lz4 chunk compression and the lz4 module is not "
-                "installed; re-record with `rosbag compress --bz2`"
-            ) from e
-        return memoryview(lz4.frame.decompress(bytes(data)))
+            import lz4.frame  # fastest path when the wheel happens to exist
+            return memoryview(lz4.frame.decompress(bytes(data)))
+        except ImportError:
+            pass
+        # In-repo LZ4 frame decoder (system liblz4 blocks when present,
+        # pure-Python fallback) — all three rosbag compressions are readable
+        # without any extra install (get_valid_message_stream.py:25-29 parity).
+        from droplet_visual_odometry_tpu.data import lz4f
+
+        return memoryview(lz4f.decompress(bytes(data)))
     raise NotImplementedError(f"unknown chunk compression: {compression!r}")
 
 

@@ -11,7 +11,7 @@ import struct
 import numpy as np
 import pytest
 
-from droplet_visual_odometry_tpu.data import rosbag
+from droplet_visual_odometry_tpu.data import lz4f, rosbag
 
 # ---------------------------------------------------------------------------
 # Minimal bag v2.0 writer (test-local).
@@ -55,7 +55,15 @@ def _msg_record(conn_id: int, t: float, payload: bytes) -> bytes:
 
 
 def _chunk(records: bytes, compression: str) -> bytes:
-    data = bz2.compress(records) if compression == "bz2" else records
+    if compression == "bz2":
+        data = bz2.compress(records)
+    elif compression == "lz4":
+        # GENUINE independent compressor: the system liblz4's own
+        # LZ4F_compressFrame (default block-linked frames), NOT a re-read of
+        # our frame decoder's spec understanding.
+        data = lz4f.compress_frame(records)
+    else:
+        data = records
     return _record(
         {
             b"op": b"\x05",
@@ -230,8 +238,10 @@ def _build_bag(path, compression: str, raw_images: bool = False) -> tuple[np.nda
     return frames, stamps
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_extract_bag(tmp_path, compression):
+    if compression == "lz4" and not lz4f.native_available():
+        pytest.skip("no liblz4 to build the fixture")
     path = str(tmp_path / "t.bag")
     frames, stamps = _build_bag(path, compression)
     fr, dets = rosbag.extract_bag(path, IMG_TOPIC, MARKER_TOPIC)
@@ -288,3 +298,22 @@ def test_convert_bag_to_sequence(tmp_path):
     # Image stamps 10/10.5/11; markers at 10 and 11 only -> 2 paired frames.
     np.testing.assert_allclose(seq.timestamps, [10.0, 11.0])
     assert seq.marker_present.tolist() == [True, True]
+
+
+def test_lz4_frame_decoder_pure_python_matches_native(monkeypatch):
+    """The pure-Python block decoder (no-liblz4 fallback) must decode the
+    SAME liblz4-produced frames byte-for-byte, including block-linked frames
+    whose matches reach into the previous block's window (>64 KB payload)
+    and incompressible payloads stored as uncompressed blocks."""
+    if not lz4f.native_available():
+        pytest.skip("no liblz4 to build the fixtures")
+    rng = np.random.default_rng(0)
+    compressible = bytes(rng.integers(0, 4, 300_000, dtype=np.uint8))
+    incompressible = bytes(rng.integers(0, 256, 5_000, dtype=np.uint8))
+    for payload in (compressible, incompressible, b"", b"abc" * 50_000):
+        frame = lz4f.compress_frame(payload)
+        assert lz4f.decompress(frame) == payload  # native block path
+        monkeypatch.setattr(lz4f, "_lib", None)
+        monkeypatch.setattr(lz4f, "_lib_tried", True)
+        assert lz4f.decompress(frame) == payload  # pure-Python block path
+        monkeypatch.setattr(lz4f, "_lib_tried", False)
