@@ -100,7 +100,7 @@ def _build_steer_weights() -> np.ndarray:
     return w
 
 
-_STEER_W = jnp.asarray(_build_steer_weights().astype(jnp.bfloat16))
+_STEER_W = _build_steer_weights().astype(jnp.bfloat16)  # numpy (ml_dtypes bf16): see sift.py tracer-leak note
 
 
 def extract_patches(img: jax.Array, xy: jax.Array) -> jax.Array:

@@ -97,7 +97,12 @@ def _rotated_grid_indices() -> np.ndarray:
     return out
 
 
-_GRID_INDICES = jnp.asarray(_rotated_grid_indices())
+# Module-level constants stay NUMPY: this module is imported lazily, and the
+# first import can happen INSIDE a jit trace (pipeline -> run_sequence with
+# frontend='sift'), where a module-level jnp.asarray would capture the
+# ambient trace and leak a tracer into the global (UnexpectedTracerError on
+# the next trace). jnp ops lift numpy operands to constants per-trace.
+_GRID_INDICES = _rotated_grid_indices()
 
 
 def _cell_onehot() -> np.ndarray:
@@ -110,7 +115,7 @@ def _cell_onehot() -> np.ndarray:
     return onehot
 
 
-_CELL_ONEHOT = jnp.asarray(_cell_onehot())
+_CELL_ONEHOT = _cell_onehot()
 
 
 def _spatial_weight() -> np.ndarray:
@@ -121,7 +126,7 @@ def _spatial_weight() -> np.ndarray:
     return w.reshape(-1).astype(np.float32)
 
 
-_SPATIAL_W = jnp.asarray(_spatial_weight())
+_SPATIAL_W = _spatial_weight()
 
 
 def describe(img_blur: jax.Array, kps: Keypoints) -> tuple[jax.Array, jax.Array]:
@@ -142,7 +147,7 @@ def describe(img_blur: jax.Array, kps: Keypoints) -> tuple[jax.Array, jax.Array]
     flat_gx = gx.reshape(gx.shape[0], -1)
 
     # Rotated sample positions per keypoint.
-    sample_idx = _GRID_INDICES[bin_idx]  # (K, 256)
+    sample_idx = jnp.asarray(_GRID_INDICES)[bin_idx]  # (K, 256)
     sgy = jnp.take_along_axis(flat_gy, sample_idx, axis=1)
     sgx = jnp.take_along_axis(flat_gx, sample_idx, axis=1)
 

@@ -98,7 +98,7 @@ def describe(img_blur: jax.Array, kps: Keypoints) -> tuple[jax.Array, jax.Array]
     flat_gy = gy.reshape(gy.shape[0], -1)
     flat_gx = gx.reshape(gx.shape[0], -1)
 
-    sample_idx = _GRID_INDICES[bin_idx]  # (K, 256) rotated grid positions
+    sample_idx = jnp.asarray(_GRID_INDICES)[bin_idx]  # (K, 256) rotated grid positions
     sgy = jnp.take_along_axis(flat_gy, sample_idx, axis=1)
     sgx = jnp.take_along_axis(flat_gx, sample_idx, axis=1)
 
