@@ -61,6 +61,7 @@ def essential_8point(
     w: jax.Array,
     enforce_rank2: bool = True,
     hartley: bool = True,
+    eig_iters: int = 3,
 ) -> jax.Array:
     """Weighted 8-point algorithm, batched over leading dims.
 
@@ -82,6 +83,12 @@ def essential_8point(
     Uses fixed-cost inverse iteration + unrolled Cholesky instead of
     jnp.linalg.eigh, whose TPU Jacobi loop hits worst-case iteration counts on
     exactly-rank-8 minimal-sample normal matrices (ops/linalg.py).
+
+    eig_iters: inverse-iteration count. The RANSAC stage is LATENCY-bound on
+    these unrolled solve chains (PERF.md); hypothesis solves pass 1 (each
+    iteration contracts the eigvec error by ~(eps/lambda_2) ~ 1e-5, so one
+    step never changes a Sampson ranking — accuracy gate: the full parity
+    matrix, tests/test_parity.py), while polish solves keep the default 3.
     """
     if hartley:
         x1n, T1 = _hartley_normalize(x1, w)
@@ -93,7 +100,7 @@ def essential_8point(
     A = (x2n[..., :, None] * x1n[..., None, :]).reshape(x1.shape[:-1] + (9,))
     Aw = A * w[..., None]
     AtA = jnp.einsum("...ni,...nj->...ij", Aw, A)
-    e = fast_linalg.smallest_eigvec(AtA)
+    e = fast_linalg.smallest_eigvec(AtA, iters=eig_iters)
     E = e.reshape(e.shape[:-1] + (3, 3))
 
     if hartley:
@@ -115,7 +122,8 @@ def project_to_essential(E: jax.Array) -> jax.Array:
 def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     """First-order geometric (Sampson) error, batched.
 
-    E: (..., 3, 3); x1, x2: (N, 3). Returns (..., N).
+    E: (..., 3, 3); x1, x2: strictly (N, 3) — batched/broadcast point arrays
+    are NOT supported (the dot_general layout below assumes 2-D points).
 
     Structured as three clean 2-D dot_generals with (..., 3, N) / (..., N)
     outputs: the naive einsum formulation materialises (..., N, 3)
@@ -123,20 +131,23 @@ def sampson_error(E: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     on TPU (tools/ransac_bench.py) — the epipolar dot x2^T E x1 is instead
     one (..., 9) x (9, N) matmul against the precomputable kron rows, and
     the two gradient-norm terms keep the MXU-native (..., 3, N) layout.
+    Accumulation dtype follows the input (>= f32), so f64 callers under
+    jax_enable_x64 keep full precision (advisor r4).
     """
     nd = E.ndim
+    acc = jnp.promote_types(E.dtype, jnp.float32)
     # x2^T E x1 for all (hypothesis, point): vec(E) . kron(x2, x1).
     Ef = E.reshape(E.shape[:-2] + (9,))
     A = (x2[:, :, None] * x1[:, None, :]).reshape(x1.shape[0], 9)  # (N, 9)
     num_s = jax.lax.dot_general(
-        Ef, A, (((nd - 2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        Ef, A, (((nd - 2,), (1,)), ((), ())), preferred_element_type=acc
     )  # (..., N)
     # (E x1)_i and (E^T x2)_j rows, kept as (..., 3, N) — no transposes.
     Ex1 = jax.lax.dot_general(
-        E, x1, (((nd - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        E, x1, (((nd - 1,), (1,)), ((), ())), preferred_element_type=acc
     )
     Etx2 = jax.lax.dot_general(
-        E, x2, (((nd - 2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        E, x2, (((nd - 2,), (1,)), ((), ())), preferred_element_type=acc
     )
     den = (
         Ex1[..., 0, :] ** 2

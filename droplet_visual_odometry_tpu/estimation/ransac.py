@@ -22,11 +22,13 @@ from droplet_visual_odometry_tpu.estimation import epipolar
 
 @dataclasses.dataclass(frozen=True)
 class RansacConfig:
-    # 512 breadth-first 8-point hypotheses + two 256-sample LO rounds: at
-    # VO-frontend inlier ratios (>40%) the MSAC winner saturates well below
-    # this budget (accuracy gate: the full parity suite is unchanged vs
-    # 1024), and the stage is ~30% cheaper (tools/ransac_bench.py).
-    n_hypotheses: int = 512
+    # 384 breadth-first 8-point hypotheses + a 128-sample fused LO round: at
+    # VO-frontend inlier ratios (~70% after crosscheck matching) an all-inlier
+    # 8-point draw lands ~22 times in 384, and the MSAC winner + LO rescue
+    # saturate accuracy (gate: the full five-scenario parity matrix, r5 —
+    # every verdict unchanged vs 512/256); the stage is ~30% cheaper again
+    # (tools/ransac_bench.py: hyp256_lo64 ties n_inliers at -32% cost).
+    n_hypotheses: int = 384
     sample_size: int = 8
     # Inlier threshold in PIXELS (converted to normalized coords via focal
     # length like OpenCV's findEssentialMat does internally).
@@ -38,9 +40,23 @@ class RansacConfig:
     # Locally-optimised inner round (LO-RANSAC): hypotheses resampled from the
     # winning inlier set. Shakes off chance-consistent outliers that a pure
     # least-squares polish locks in. 0 disables.
-    lo_hypotheses: int = 256
+    lo_hypotheses: int = 128
     # Larger-than-minimal LO samples average out noise (Chum's LO-RANSAC).
     lo_sample_size: int = 14
+    # Inverse-iteration counts for the minimal-sample eigvec solves
+    # (ops/linalg.smallest_eigvec). MEASURED (r5 bisect, corner-noise
+    # scenario ATE): 3/3 = 0.012, 2/3 = 0.026, 1/3 = 0.057, 1/1 = 0.152 —
+    # the noisy minimal-sample eigproblems genuinely need all three steps,
+    # so the latency cut comes from the fused schedule + budget, not here.
+    hyp_eig_iters: int = 3
+    lo_eig_iters: int = 3
+    # Fold LO round 2 + polish round 1 into ONE accept step: the LO candidates
+    # and the full-set weighted polish (both functions of the round-1 inlier
+    # set only) are scored together in one batched Sampson, then a single
+    # final polish runs on the winner — 3 sequential solver chains instead of
+    # 5 on a stage that is latency-bound on exactly those chains (PERF.md,
+    # r4's twice-named lever). False restores the r4 sequential schedule.
+    fused_lo_polish: bool = True
 
 
 class RansacResult(NamedTuple):
@@ -111,7 +127,10 @@ def ransac_essential(
     # Hypotheses are scored UNPROJECTED (Sampson ranks raw null-space solutions
     # equally well); the essential-manifold projection runs once, on the winner.
     Es = denorm(
-        epipolar.essential_8point(s1, s2, w, enforce_rank2=False, hartley=False)
+        epipolar.essential_8point(
+            s1, s2, w, enforce_rank2=False, hartley=False,
+            eig_iters=cfg.hyp_eig_iters,
+        )
     )  # (B, 3, 3)
 
     def msac_cost(err):
@@ -130,43 +149,69 @@ def ransac_essential(
     inliers = (err[best] < thr2) & valid
     cost = costs[best]
 
-    if cfg.lo_hypotheses > 0:
-        # LO-RANSAC inner rounds: larger-than-minimal samples drawn from the
-        # current inlier set only; the second round resamples from the
-        # (possibly improved) set.
-        for lo_round in (1, 2):
-            key_lo = jax.random.fold_in(key, lo_round)
-            idx_lo = _sample_indices(
-                key_lo, cfg.lo_hypotheses, cfg.lo_sample_size, n, inliers
-            )
-            Es_lo = denorm(
-                epipolar.essential_8point(
-                    x1g[idx_lo], x2g[idx_lo], jnp.ones(idx_lo.shape, jnp.float32),
-                    enforce_rank2=False, hartley=False,
-                )
-            )
-            err_lo = epipolar.sampson_error(Es_lo, x1, x2)
-            costs_lo = msac_cost(err_lo)
-            best_lo = jnp.argmin(costs_lo)
-            better = costs_lo[best_lo] < cost
-            E = jnp.where(better, Es_lo[best_lo], E)
-            inliers = jnp.where(better, (err_lo[best_lo] < thr2) & valid, inliers)
-            cost = jnp.where(better, costs_lo[best_lo], cost)
-
-    # Polish: weighted 8-point on the current inlier set, MSAC-accepted.
-    def polish(_, carry):
+    def accept_batch(Es_c, carry):
+        """Score candidate Es against the full set in ONE batched Sampson and
+        accept the best if it beats the carried cost."""
         E, inliers, cost = carry
-        wts = inliers.astype(jnp.float32)
-        E2 = epipolar.essential_8point(x1, x2, wts, enforce_rank2=False)
-        err2 = epipolar.sampson_error(E2, x1, x2)
-        cost2 = msac_cost(err2)
-        better = cost2 <= cost
-        E = jnp.where(better, E2, E)
-        inliers = jnp.where(better, (err2 < thr2) & valid, inliers)
-        cost = jnp.where(better, cost2, cost)
+        err_c = epipolar.sampson_error(Es_c, x1, x2)
+        costs_c = msac_cost(err_c)
+        best_c = jnp.argmin(costs_c)
+        better = costs_c[best_c] <= cost
+        E = jnp.where(better, Es_c[best_c], E)
+        inliers = jnp.where(better, (err_c[best_c] < thr2) & valid, inliers)
+        cost = jnp.where(better, costs_c[best_c], cost)
         return E, inliers, cost
 
-    E, inliers, cost = jax.lax.fori_loop(0, cfg.refine_iters, polish, (E, inliers, cost))
+    def lo_candidates(key_lo, inl, eig_iters):
+        idx_lo = _sample_indices(
+            key_lo, cfg.lo_hypotheses, cfg.lo_sample_size, n, inl
+        )
+        return denorm(
+            epipolar.essential_8point(
+                x1g[idx_lo], x2g[idx_lo], jnp.ones(idx_lo.shape, jnp.float32),
+                enforce_rank2=False, hartley=False, eig_iters=eig_iters,
+            )
+        )
+
+    def polish_candidate(inl):
+        """Full-set weighted 8-point on an inlier set (the polish solve)."""
+        return epipolar.essential_8point(
+            x1, x2, inl.astype(jnp.float32), enforce_rank2=False
+        )
+
+    if cfg.fused_lo_polish and cfg.lo_hypotheses > 0:
+        # Stage A — one accept step over {LO candidates, full-set polish}:
+        # both depend only on the round-1 inlier set, so their solves overlap
+        # and their Sampson scoring is one (B+1)-batched call.
+        cands = jnp.concatenate(
+            [
+                lo_candidates(jax.random.fold_in(key, 1), inliers, cfg.lo_eig_iters),
+                polish_candidate(inliers)[None],
+            ],
+            axis=0,
+        )
+        E, inliers, cost = accept_batch(cands, (E, inliers, cost))
+        # Stage B — final full-set polish on the improved set, MSAC-accepted.
+        E, inliers, cost = accept_batch(
+            polish_candidate(inliers)[None], (E, inliers, cost)
+        )
+    else:
+        if cfg.lo_hypotheses > 0:
+            # LO-RANSAC inner rounds: larger-than-minimal samples drawn from
+            # the current inlier set only; the second round resamples from
+            # the (possibly improved) set.
+            for lo_round in (1, 2):
+                E, inliers, cost = accept_batch(
+                    lo_candidates(jax.random.fold_in(key, lo_round), inliers, cfg.lo_eig_iters),
+                    (E, inliers, cost),
+                )
+        # Polish: weighted 8-point on the current inlier set, MSAC-accepted.
+        def polish(_, carry):
+            return accept_batch(polish_candidate(carry[1])[None], carry)
+
+        E, inliers, cost = jax.lax.fori_loop(
+            0, cfg.refine_iters, polish, (E, inliers, cost)
+        )
     E = epipolar.project_to_essential(E)
     return RansacResult(
         E=E,

@@ -56,7 +56,10 @@ def main(argv=None) -> int:
 
     base = RansacConfig()
     variants = {
-        "full (1024 hyp + 2xLO256 + 2 polish)": base,
+        "full (fused LO+polish accept)": base,
+        "r4_sequential (2xLO + 2 polish)": dataclasses.replace(
+            base, fused_lo_polish=False
+        ),
         "no_polish": dataclasses.replace(base, refine_iters=0),
         "no_lo": dataclasses.replace(base, lo_hypotheses=0),
         "minimal (no LO, no polish)": dataclasses.replace(
