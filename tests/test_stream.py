@@ -116,3 +116,36 @@ def test_on_marker_broadcast_per_id():
     for _, _, pose in seen:
         assert pose.shape == (4, 4)
         np.testing.assert_allclose(pose, cTm, atol=1e-5)
+
+
+def test_host_marker_info_matches_device_path():
+    """OnlineVO._marker_info is a host-numpy mirror of the jitted GT path
+    (select_marker + marker_pose_to_cTm) — assert exact agreement, including
+    the missing-id and use_base_link branches."""
+    from droplet_visual_odometry_tpu.groundtruth import (
+        GroundTruthConfig,
+        derive_ground_truth,
+        detections_from_arrays,
+    )
+
+    rng = np.random.default_rng(3)
+    ids = np.asarray([[7, 3]], np.int32)
+    t = rng.normal(size=(1, 2, 3)).astype(np.float32)
+    q = rng.normal(size=(1, 2, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    corners = rng.uniform(0, 100, (1, 2, 4, 2)).astype(np.float32)
+    dets = detections_from_arrays(ids, t, q, corners)
+
+    for use_base in (True, False):
+        cfg = GroundTruthConfig(use_base_link=use_base)
+        vo = OnlineVO(K=np.eye(3), real_marker_length=0.2, reference_id=3,
+                      cfg=CFG, gt_cfg=cfg)
+        cTm, c, ok = vo._marker_info(dets)
+        assert ok
+        streams = derive_ground_truth(dets, jnp.asarray(3), cfg)
+        np.testing.assert_allclose(cTm, np.asarray(streams.cTm[0]), atol=1e-6)
+        np.testing.assert_array_equal(c, np.asarray(streams.corners[0]))
+
+    vo = OnlineVO(K=np.eye(3), real_marker_length=0.2, reference_id=9, cfg=CFG)
+    cTm, _, ok = vo._marker_info(dets)
+    assert cTm is None and not ok
