@@ -214,6 +214,12 @@ def find_loop_closures(
             vo_cfg.ransac,
             n_hypotheses=max(vo_cfg.ransac.n_hypotheses, cfg.verify_hypotheses),
             lo_hypotheses=max(vo_cfg.ransac.lo_hypotheses, cfg.verify_lo_hypotheses),
+            # Edge verification pairs are wide-baseline with low inlier
+            # ratios — exactly where the sequential schedule's SECOND LO
+            # round (resampling from the round-1-improved inlier set) earns
+            # its latency (r5 marker_gap bisect: 0.069 vs 0.080 ATE). The
+            # throughput path keeps the 3-chain fused schedule.
+            fused_lo_polish=False,
         ),
     )
     n_kf = int(kf_abs.shape[0])

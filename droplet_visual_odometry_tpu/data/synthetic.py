@@ -34,6 +34,8 @@ class SyntheticConfig:
     height: int = 480
     fx: float = 520.0
     fy: float = 520.0
+    cx: float | None = None  # principal point; None = image centre
+    cy: float | None = None
     n_landmarks: int = 400
     marker_length: float = 0.2  # metres, side of the fiducial square
     orbit_radius: float = 2.0  # camera distance from the marker wall
@@ -136,7 +138,13 @@ def render_sequence(cfg: SyntheticConfig | None = None) -> VOSequence:
     rng = np.random.default_rng(cfg.seed)
     w, h = cfg.width, cfg.height
     cam = make_camera(
-        cfg.fx, cfg.fy, w / 2.0 - 0.5, h / 2.0 - 0.5, cfg.distortion, w, h
+        cfg.fx,
+        cfg.fy,
+        w / 2.0 - 0.5 if cfg.cx is None else cfg.cx,
+        h / 2.0 - 0.5 if cfg.cy is None else cfg.cy,
+        cfg.distortion,
+        w,
+        h,
     )
     K = np.asarray(cam.K, np.float64)
 

@@ -18,7 +18,18 @@ The reference chain ported here (file:line in /root/reference):
   rel     Trans(t*scale) @ Rot(euler round-trip)       v3:328-345
   chain   abs = abs_prev @ rel                         v3:349-368
 
-`faithful=True` reproduces the reference's five implementation quirks
+When the camera has a distortion model, the reference's undistortion leg
+runs too (its production camera is 1440x1080 with strong plumb_bob
+distortion — Parameters/camera_calibration.yaml:21-29):
+
+  new_K  getOptimalNewCameraMatrix(K, dist, (w,h), alpha=1, (w,h))
+                                                       v3:117-123 (recomputed
+                                                       per frame; identical
+                                                       every time, hoisted)
+  rect   cv.undistort(gray, K, dist, newCameraMatrix=new_K)
+                                                       v3:110-113, 127-133
+
+`faithful=True` reproduces the reference's six implementation quirks
 bug-for-bug (they are the pipeline's real behavior):
   1. marker corners read from the PREVIOUS valid set — the scale sees corner
      pairs (i-2, i-1) for image pair (i-1, i)          dual_process:214 vs :182
@@ -31,11 +42,21 @@ bug-for-bug (they are the pipeline's real behavior):
                                                        v3:334-339 vs :138-142
   5. chaining abs = abs_prev @ rel with rel = curr_T_prev (right-
      multiplication of a left-frame transform)         v3:367
+  6. (distorted cameras) keypoints are detected on frames rectified under
+     new_K, but findEssentialMat / recoverPose / the projection matrices
+     all use the ORIGINAL K (v3:297-309 `self.intrinsic_coefficient_matrix`
+     — never new_K), and the marker corners fed to the scale triangulation
+     are the RAW detections from the distorted stream (the STag corners come
+     from /stag_markers, detected on the raw camera feed —
+     get_valid_message_stream.py:29; nothing undistorts them).
 
-`faithful=False` ("reference-intent") fixes all five — corners (i-1, i),
+`faithful=False` ("reference-intent") fixes all six — corners (i-1, i),
 dehomogenised triangulation at K[I|0]/K[R|t], the recovered R used directly,
-abs = rel @ abs_prev — and is the STRONGER baseline our ATE must also beat:
-parity against the as-is reference alone would be won trivially on quirk #5.
+abs = rel @ abs_prev, and (quirk 6) new_K used consistently for the
+epipolar/projection geometry with marker corners undistorted into the same
+new_K pixel frame (cv.undistortPoints(..., P=new_K)) — and is the STRONGER
+baseline our ATE must also beat: parity against the as-is reference alone
+would be won trivially on quirk #5.
 
 Both reference variants consume the valid-message-stream semantics: only
 marker-bearing frames enter the stream (get_valid_message_stream.py:21-37
@@ -87,7 +108,10 @@ class ReferenceVO:
     folder naming says was actually run (*_knn_sift.bag — dual_process:296).
     """
 
-    def __init__(self, K, real_marker_length, mode="orb", faithful=True):
+    def __init__(
+        self, K, real_marker_length, mode="orb", faithful=True,
+        dist=None, size=None,
+    ):
         import cv2
 
         self.cv2 = cv2
@@ -95,6 +119,25 @@ class ReferenceVO:
         self.real_marker_length = float(real_marker_length)
         self.mode = mode
         self.faithful = faithful
+        # Undistortion leg (v3:110-135): active only when the camera model
+        # has distortion. new_K is hoisted out of the per-frame loop (the
+        # reference recomputes an identical matrix every frame, v3:117-123).
+        self.dist = None
+        self.new_K = None
+        if dist is not None and np.any(np.asarray(dist)):
+            assert size is not None, "distorted camera needs (width, height)"
+            self.dist = np.asarray(dist, np.float64).reshape(-1)
+            w, h = int(size[0]), int(size[1])
+            self.size = (w, h)
+            self.new_K, _ = cv2.getOptimalNewCameraMatrix(
+                self.K, self.dist, (w, h), 1, (w, h)
+            )
+        # Geometry matrix for E/recoverPose/projection: the reference keeps
+        # using the ORIGINAL K after rectifying under new_K (quirk #6,
+        # v3:297-309); the intent variant uses new_K consistently.
+        self.geom_K = self.K
+        if self.new_K is not None and not faithful:
+            self.geom_K = np.asarray(self.new_K, np.float64)
         if mode == "orb":
             self.detector = cv2.ORB_create()
             self.bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
@@ -106,10 +149,28 @@ class ReferenceVO:
         # v3:164-166 (controlled branch — the uncontrolled branch leaves this
         # None and crashes on the first triangulation, so the working
         # configuration is ported).
-        self.previous_projection_matrix = self.K @ np.hstack(
+        self.previous_projection_matrix = self.geom_K @ np.hstack(
             [np.eye(3), np.zeros((3, 1))]
         )
         self.n_failures = 0
+
+    def _rectify(self, img):
+        """cv.undistort leg (v3:110-113) — identity for distortion-free cams."""
+        if self.dist is None:
+            return img
+        return self.cv2.undistort(
+            img, self.K, self.dist, newCameraMatrix=self.new_K
+        )
+
+    def _corners_for_scale(self, corners):
+        """Marker corners as the scale triangulation sees them. Faithful: the
+        raw distorted-stream detections (quirk #6). Intent: undistorted into
+        the new_K pixel frame the rectified keypoints live in."""
+        if self.dist is None or self.faithful:
+            return np.asarray(corners, np.float64)
+        c = np.asarray(corners, np.float64).reshape(-1, 1, 2)
+        und = self.cv2.undistortPoints(c, self.K, self.dist, P=self.new_K)
+        return und.reshape(-1, 2)
 
     def _match(self, d1, k1, d2, k2):
         cv2 = self.cv2
@@ -130,6 +191,8 @@ class ReferenceVO:
         holds the pose (rel = I) so the run can be scored at all.
         """
         cv2 = self.cv2
+        prev_img = self._rectify(prev_img)
+        curr_img = self._rectify(curr_img)
         k1, d1 = self.detector.detectAndCompute(prev_img, None)
         k2, d2 = self.detector.detectAndCompute(curr_img, None)
         if d1 is None or d2 is None:
@@ -141,22 +204,22 @@ class ReferenceVO:
             return prev_abs @ np.eye(4), np.eye(4)
 
         E, _ = cv2.findEssentialMat(
-            p1, p2, self.K, method=cv2.RANSAC, prob=0.999, threshold=1.0
-        )  # v3:297-300
+            p1, p2, self.geom_K, method=cv2.RANSAC, prob=0.999, threshold=1.0
+        )  # v3:297-300 (geom_K == original K when faithful, quirk #6)
         if E is None or E.shape != (3, 3):
             self.n_failures += 1
             return prev_abs @ np.eye(4), np.eye(4)
-        _, R, t, _ = cv2.recoverPose(E, p1, p2, self.K)  # v3:303-306
+        _, R, t, _ = cv2.recoverPose(E, p1, p2, self.geom_K)  # v3:303-306
 
-        current_P = self.K @ np.hstack([R, t.reshape(3, 1)])  # v3:309
+        current_P = self.geom_K @ np.hstack([R, t.reshape(3, 1)])  # v3:309
         prev_P = self.previous_projection_matrix if self.faithful else (
-            self.K @ np.hstack([np.eye(3), np.zeros((3, 1))])
+            self.geom_K @ np.hstack([np.eye(3), np.zeros((3, 1))])
         )
         X4 = cv2.triangulatePoints(
             prev_P,
             current_P,
-            np.asarray(prev_corners, np.float64).T,
-            np.asarray(curr_corners, np.float64).T,
+            self._corners_for_scale(prev_corners).T,
+            self._corners_for_scale(curr_corners).T,
         )  # v3:265
         if self.faithful:
             # v3:269-279: raw homogeneous rows, no division by w.
@@ -187,7 +250,12 @@ def run_reference(seq, mode="orb", faithful=True):
     frames = np.asarray(seq.frames)
     corners = np.asarray(seq.marker_corners, np.float64)
     vo = ReferenceVO(
-        np.asarray(seq.camera.K), seq.real_marker_length, mode=mode, faithful=faithful
+        np.asarray(seq.camera.K),
+        seq.real_marker_length,
+        mode=mode,
+        faithful=faithful,
+        dist=np.asarray(seq.camera.dist),
+        size=(seq.camera.width, seq.camera.height),
     )
     est = np.empty((len(present), 4, 4))
     est[0] = np.asarray(seq.marker_poses[present[0]], np.float64)  # seed cTm_0
@@ -256,6 +324,30 @@ def scenarios(quick: bool = False):
                 base, n_frames=n2, seed=4, loop=True, orbit_sweep=0.9, dolly=0.3
             )
         ),
+        # The reference's PRODUCTION camera: 1440x1080 with its real plumb_bob
+        # distortion (Parameters/camera_calibration.yaml:21-29). The frames
+        # are rendered THROUGH the lens model and both pipelines run their
+        # full undistortion legs (ReferenceVO._rectify == v3:110-135 /
+        # pipeline.make_preprocessor) — the only scenario that exercises the
+        # per-frame rectification path end-to-end on both sides.
+        "distorted_1440": synthetic.render_sequence(
+            dataclasses.replace(
+                base,
+                n_frames=n1,
+                seed=5,
+                width=1440,
+                height=1080,
+                fx=1173.854081,
+                fy=1170.565083,
+                cx=747.788206,
+                cy=574.700374,
+                distortion=np.array(
+                    [-0.296079, 0.099771, 0.000222, 0.000109, 0.0]
+                ),
+                n_landmarks=700,
+                landmark_size=0.07,
+            )
+        ),
     }
     return out
 
@@ -277,11 +369,19 @@ def evaluate(seq, present_idx, est_abs):
     }
 
 
-def run_ours(seq, backend="none", scale_mode="marker", seed=0):
+def run_ours(seq, backend="none", scale_mode="marker", seed=0, frontend="orb"):
     from droplet_visual_odometry_tpu import pipeline
     from droplet_visual_odometry_tpu.estimation.vo import VOConfig
 
-    cfg = VOConfig(scale_mode=scale_mode)
+    if frontend == "orb":
+        cfg = VOConfig(scale_mode=scale_mode)
+    else:  # float-descriptor modes pair with Lowe-ratio matching (v3:223-230)
+        cfg = VOConfig(
+            scale_mode=scale_mode,
+            frontend=frontend,
+            match_mode="ratio",
+            dog_threshold=0.5,
+        )
     res = pipeline.run_experiment(seq, cfg, seed=seed, backend=backend)
     present = np.flatnonzero(np.asarray(seq.marker_present))
     return present, res.vo_abs[present]
@@ -297,14 +397,25 @@ def run_scenario(name, seq, quick=False):
         pres, est, nf = run_reference(seq, **kwargs)
         rows[label] = evaluate(seq, pres, est) | {"n_failures": nf}
 
-    ours = [("ours none", "none", "hold" if name == "marker_gap" else "marker")]
+    sm = "hold" if name == "marker_gap" else "marker"
+    ours = [("ours none", "none", sm, "orb")]
     if not quick:
         ours += [
-            ("ours ba", "ba", "hold" if name == "marker_gap" else "marker"),
-            ("ours pose_graph", "pose_graph", "hold" if name == "marker_gap" else "marker"),
+            ("ours ba", "ba", sm, "orb"),
+            ("ours pose_graph", "pose_graph", sm, "orb"),
         ]
-    for label, backend, scale_mode in ours:
-        pres, est = run_ours(seq, backend=backend, scale_mode=scale_mode)
+        if name in ("clean", "corner_noise_1px"):
+            # The reference's mode switch scored end-to-end (v3:93-107;
+            # knn_sift is the mode its driver ran, dual_process:296): our
+            # float-descriptor frontends on the frame-to-frame backend.
+            ours += [
+                ("ours sift", "none", sm, "sift"),
+                ("ours surf", "none", sm, "surf"),
+            ]
+    for label, backend, scale_mode, frontend in ours:
+        pres, est = run_ours(
+            seq, backend=backend, scale_mode=scale_mode, frontend=frontend
+        )
         rows[label] = evaluate(seq, pres, est)
     return rows
 
