@@ -61,6 +61,8 @@ def _try_load() -> ctypes.CDLL | None:
         lib.vostore_read.restype = ctypes.c_int
         lib.vostore_prefetch_start.restype = ctypes.c_int
         lib.vostore_prefetch_next.restype = ctypes.c_int64
+        if hasattr(lib, "vostore_prefetch_acquire"):  # pre-r5 .so lacks it
+            lib.vostore_prefetch_acquire.restype = ctypes.c_int64
         lib.vostore_pair_stamps.restype = ctypes.c_int64
         _lib = lib
         return _lib
@@ -159,9 +161,45 @@ class StoreReader:
         raw = self._mm[base + start * fsz : base + (start + count) * fsz]
         return np.asarray(raw).reshape(count, self.h, self.w).copy()
 
-    def iter_chunks(self, chunk: int, nslots: int = 3):
+    def iter_chunks(self, chunk: int, nslots: int = 3, copy: bool = True):
         """Yield (start, frames) chunks. Native: background prefetch thread
-        ring; fallback: plain sequential reads."""
+        ring; fallback: plain sequential reads.
+
+        copy=False yields ZERO-COPY views (into the prefetch slot buffer on
+        the native path, into the file mmap on the fallback) valid only until
+        the next iteration — right for consumers that immediately forward the
+        bytes (e.g. a host->device transfer), removing the copy-out memcpy
+        that otherwise bounds warm-path throughput (tools/ingest_bench.py)."""
+        if (
+            self._handle is not None
+            and not copy
+            and hasattr(self._lib, "vostore_prefetch_acquire")
+        ):
+            rc = self._lib.vostore_prefetch_start(
+                self._handle, ctypes.c_uint64(chunk), ctypes.c_uint64(nslots)
+            )
+            if rc != 0:
+                raise OSError("vostore_prefetch_start failed")
+            try:
+                ptr = ctypes.POINTER(ctypes.c_uint8)()
+                start = ctypes.c_uint64()
+                while True:
+                    got = self._lib.vostore_prefetch_acquire(
+                        self._handle, ctypes.byref(ptr), ctypes.byref(start)
+                    )
+                    if got < 0:
+                        raise OSError("vostore_prefetch_acquire failed")
+                    if got == 0:
+                        return
+                    view = np.ctypeslib.as_array(
+                        ptr, shape=(int(got), self.h, self.w)
+                    )
+                    view.flags.writeable = False
+                    yield int(start.value), view
+                    self._lib.vostore_prefetch_release(self._handle)
+            finally:
+                self._lib.vostore_prefetch_stop(self._handle)
+            return
         if self._handle is not None:
             rc = self._lib.vostore_prefetch_start(
                 self._handle, ctypes.c_uint64(chunk), ctypes.c_uint64(nslots)
@@ -183,9 +221,15 @@ class StoreReader:
             finally:
                 self._lib.vostore_prefetch_stop(self._handle)
         else:
+            base = _HEADER + 8 * self.n
+            fsz = self.h * self.w
             for s in range(0, self.n, chunk):
                 c = min(chunk, self.n - s)
-                yield s, self.read(s, c)
+                if copy:
+                    yield s, self.read(s, c)
+                else:  # zero-copy view straight into the file mmap
+                    raw = self._mm[base + s * fsz : base + (s + c) * fsz]
+                    yield s, np.asarray(raw).reshape(c, self.h, self.w)
 
     def close(self) -> None:
         if self._handle is not None:

@@ -89,3 +89,26 @@ def test_prefetch_large_sequence(store, tmp_path):
     with ns.StoreReader(path) as r:
         got = np.concatenate([c for _, c in r.iter_chunks(7, nslots=3)])
     np.testing.assert_array_equal(got, frames)
+
+
+def test_iter_chunks_zero_copy_matches_copy(tmp_path):
+    """copy=False yields the same bytes as the copying path on both the
+    native prefetch ring (acquire/release) and the mmap fallback."""
+    import numpy as np
+
+    from droplet_visual_odometry_tpu.data import native_store
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (11, 6, 8), dtype=np.uint8)
+    stamps = np.arange(11, dtype=np.float64)
+    path = str(tmp_path / "zc.vostore")
+    native_store.write_store(path, frames, stamps)
+
+    with native_store.StoreReader(path) as r:
+        got = [(s, f.copy()) for s, f in r.iter_chunks(4, copy=False)]
+    with native_store.StoreReader(path) as r:
+        ref = list(r.iter_chunks(4))
+    assert [s for s, _ in got] == [s for s, _ in ref]
+    for (_, a), (_, b) in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.concatenate([f for _, f in got]), frames)

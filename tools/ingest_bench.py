@@ -47,13 +47,13 @@ def drop_page_cache(path: str) -> bool:
         return False
 
 
-def timed_pass(path: str, chunk: int) -> tuple[float, int, int]:
+def timed_pass(path: str, chunk: int, copy: bool = True) -> tuple[float, int, int]:
     """One full iter_chunks pass. Returns (seconds, frames, touched_sum)."""
     t0 = time.perf_counter()
     n = 0
     touch = 0
     with native_store.StoreReader(path) as r:
-        for _, frames in r.iter_chunks(chunk):
+        for _, frames in r.iter_chunks(chunk, copy=copy):
             n += len(frames)
             touch += int(frames[0, 0, 0]) + int(frames[-1, -1, -1])
     return time.perf_counter() - t0, n, touch
@@ -91,7 +91,8 @@ def main(argv=None) -> int:
     cold_ok = drop_page_cache(args.path)
     cold_s, n_cold, _ = timed_pass(args.path, args.chunk)
     warm_s, n_warm, _ = timed_pass(args.path, args.chunk)
-    assert n_cold == n_warm == args.frames
+    warm0_s, n_warm0, _ = timed_pass(args.path, args.chunk, copy=False)
+    assert n_cold == n_warm == n_warm0 == args.frames
 
     if not args.keep:
         os.unlink(args.path)
@@ -111,6 +112,7 @@ def main(argv=None) -> int:
                 "value": rates(cold_s)["mb_per_s"],
                 "cold_cache": rates(cold_s) | {"evicted": cold_ok},
                 "warm_cache": rates(warm_s),
+                "warm_cache_zero_copy": rates(warm0_s),
                 "native_reader": native_store.native_available(),
                 "chunk": args.chunk,
                 "n_frames": args.frames,
