@@ -37,7 +37,7 @@ def _free_port() -> int:
 
 
 def run_spawn(n_procs: int, total_devices: int, pairs_per_device: int, ba: bool,
-              height: int, width: int) -> int:
+              height: int, width: int, ba_landmarks: int = 1024) -> int:
     """Launch the 1-process and N-process runs as subprocesses; compare."""
     assert total_devices % n_procs == 0, (total_devices, n_procs)
     results = {}
@@ -60,7 +60,7 @@ def run_spawn(n_procs: int, total_devices: int, pairs_per_device: int, ba: bool,
             "--height", str(height), "--width", str(width),
             "--coordinator", coordinator,
             "--nprocs", str(procs), "--json",
-        ] + (["--ba"] if ba else [])
+        ] + (["--ba", "--ba-landmarks", str(ba_landmarks)] if ba else [])
         children = [
             subprocess.Popen(
                 cmd_base + ["--pid", str(pid)],
@@ -94,7 +94,9 @@ def run_spawn(n_procs: int, total_devices: int, pairs_per_device: int, ba: bool,
                     f"{n_procs}x{total_devices // n_procs}dev (gloo, localhost "
                     "coordinator, real OS-process boundary)",
             "workload": f"{total_devices * pairs_per_device} pairs "
-                        f"({height}x{width})" + (" + distributed Schur BA" if ba else ""),
+                        f"({height}x{width})"
+                        + (f" + distributed Schur BA ({ba_landmarks} landmarks/dev)"
+                           if ba else ""),
         },
         "workloads": {},
     }
@@ -120,6 +122,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--ba", action="store_true", help="also measure distributed BA")
+    ap.add_argument(
+        "--ba-landmarks",
+        type=int,
+        default=256,
+        help="landmarks per device for the BA workload (larger = more "
+        "compute per collective; cross-process runs need enough work to "
+        "amortise the per-iteration gloo rendezvous)",
+    )
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--pid", type=int, default=None)
@@ -203,7 +213,9 @@ def main(argv: list[str] | None = None) -> int:
         width=args.width,
     )
     if args.ba:
-        reports["distributed_ba"] = launch.measure_scaling_ba(counts)
+        reports["distributed_ba"] = launch.measure_scaling_ba(
+            counts, landmarks_per_device=args.ba_landmarks
+        )
 
     if launch.is_coordinator():
         if args.json:
