@@ -99,6 +99,18 @@ class LoopEdges(NamedTuple):
     rel: np.ndarray  # (C, 4, 4) measured c_j_T_c_i (VO convention), scaled
     scale_ok: np.ndarray  # (C,) bool — metric (marker) scale vs trajectory-implied
     n_inliers: np.ndarray  # (C,)
+    # Restart dispersion: the GT-free precision signal for each edge. The
+    # verify_restarts independent RANSAC runs per candidate either agree (a
+    # well-constrained pair: near-identical revisit views converge to the
+    # same pose within <1 deg) or scatter (a degenerate wide-baseline pair:
+    # rotations several deg apart, translation directions tens of deg apart
+    # — measured on a 448x336 marker-gap bridge: 4-9 deg rot, 27-75 deg dir
+    # across keys while every restart still reported ok). The consumer
+    # (refine.pose_graph_trajectory) turns these into per-block information
+    # discounts so a scattered edge cannot drag the graph. 0 when only one
+    # restart is configured (no dispersion information; legacy behavior).
+    rot_disp_deg: np.ndarray  # (C,) max pairwise rotation angle across ok restarts
+    dir_disp_deg: np.ndarray  # (C,) max pairwise translation-direction angle
 
 
 def _pair_list(n_kf: int, min_gap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -229,6 +241,8 @@ def find_loop_closures(
         rel=np.zeros((0, 4, 4)),
         scale_ok=np.zeros(0, bool),
         n_inliers=np.zeros(0, np.int64),
+        rot_disp_deg=np.zeros(0),
+        dir_disp_deg=np.zeros(0),
     )
     chosen_pairs: list[tuple[int, int]] = []
     if n_kf >= cfg.min_gap + 2:
@@ -304,9 +318,38 @@ def find_loop_closures(
         -1,
     )
     best_r = np.argmax(score, axis=0)  # (n_slot,)
+
+    # Restart dispersion per slot (see LoopEdges.rot_disp_deg): max pairwise
+    # disagreement among the ok restarts. With R independent keys this is a
+    # direct measurement-precision estimate that needs no ground truth. A
+    # candidate where restarts scatter is degenerate no matter how many
+    # inliers its best restart counted. Fewer than 2 ok restarts out of a
+    # R>=2 budget is itself evidence of degeneracy -> max dispersion.
+    ok_r = np.asarray(res.ok)  # (R, n_slot)
+    Rm = np.asarray(res.rel_unit, np.float64)[..., :3, :3]
+    tm = np.asarray(res.rel_unit, np.float64)[..., :3, 3]
+    tm = tm / np.maximum(np.linalg.norm(tm, axis=-1, keepdims=True), 1e-12)
+    rot_disp = np.zeros(n_slot)
+    dir_disp = np.zeros(n_slot)
+    if R >= 2:
+        for s in range(n_slot):
+            kk = np.flatnonzero(ok_r[:, s])
+            if len(kk) < 2:
+                rot_disp[s], dir_disp[s] = 180.0, 180.0
+                continue
+            for x in range(len(kk)):
+                for y in range(x + 1, len(kk)):
+                    a, b = kk[x], kk[y]
+                    tr = np.trace(Rm[a, s] @ Rm[b, s].T)
+                    ang = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+                    rot_disp[s] = max(rot_disp[s], ang)
+                    c = np.clip(tm[a, s] @ tm[b, s], -1, 1)
+                    dir_disp[s] = max(dir_disp[s], np.degrees(np.arccos(c)))
+
     res = jax.tree_util.tree_map(
         lambda a: a[best_r, np.arange(n_slot)][:n_c], res
     )
+    rot_disp, dir_disp = rot_disp[:n_c], dir_disp[:n_c]
 
     ok = np.asarray(res.ok) & (np.asarray(res.n_inliers) >= min_inl)
     if not ok.any():
@@ -329,4 +372,6 @@ def find_loop_closures(
         rel=rel,
         scale_ok=scale_ok,
         n_inliers=np.asarray(res.n_inliers)[ok].astype(np.int64),
+        rot_disp_deg=rot_disp[ok],
+        dir_disp_deg=dir_disp[ok],
     )

@@ -153,6 +153,17 @@ class PoseGraphRefineConfig:
     # fiducial. These factors scale that matrix relative to lc.weight.
     loop_rot_weight_scale_free: float = 1.0
     loop_dir_weight_scale_free: float = 0.5
+    # Restart-dispersion information discount (LoopEdges.rot_disp_deg /
+    # dir_disp_deg): each edge's rotation / translation information block is
+    # multiplied by 1 / (1 + (disp/disp0)^2). disp0 is the dispersion at
+    # which the block loses half its weight — converged restarts (<1 deg; a
+    # genuine revisit) keep ~full weight, while a degenerate wide-baseline
+    # pair (several deg rot, tens of deg dir scatter) decays quadratically:
+    # it stays IN the graph as a weak hint but cannot drag well-tracked
+    # chain spans (measured: a 11-deg-rot-error bridge edge at 448x336 made
+    # pose_graph ATE 63% WORSE than raw chaining before this gate).
+    edge_rot_disp_deg0: float = 2.0
+    edge_dir_disp_deg0: float = 5.0
 
 
 def pose_graph_trajectory(
@@ -290,6 +301,19 @@ def pose_graph_trajectory(
     loop_w = jnp.where(
         jnp.asarray(edges.scale_ok)[:, None, None], metric_w, free_w
     )
+    # Per-block restart-dispersion discount (see PoseGraphRefineConfig): the
+    # translation block lives at [:3, :3] and rotation at [3:, 3:] in the
+    # se(3) residual ordering (pose_graph.scale_free_weight). Both weight
+    # families above are block-diagonal, so an elementwise block multiply is
+    # exact.
+    rot_mult = 1.0 / (1.0 + (edges.rot_disp_deg / cfg.edge_rot_disp_deg0) ** 2)
+    dir_mult = 1.0 / (1.0 + (edges.dir_disp_deg / cfg.edge_dir_disp_deg0) ** 2)
+    disc = np.zeros((len(edges.i), 6, 6), np.float32)
+    disc[:, :3, :3] = dir_mult[:, None, None]
+    disc[:, 3:, 3:] = rot_mult[:, None, None]
+    loop_w = loop_w * jnp.asarray(disc)
+    info["edge_rot_disp_deg"] = [round(float(v), 2) for v in edges.rot_disp_deg]
+    info["edge_dir_disp_deg"] = [round(float(v), 2) for v in edges.dir_disp_deg]
     graph = pose_graph.add_edges(graph, edges.i, edges.j, loop_meas, loop_w)
 
     if isinstance(mesh, str) and mesh == "auto":

@@ -39,12 +39,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ransac-hypotheses", type=int, default=1024)
     p.add_argument("--ransac-threshold-px", type=float, default=1.0)
     p.add_argument("--scale-side", default="mean", choices=["mean", "reference"])
-    p.add_argument("--scale-mode", default="marker", choices=["marker", "hold"],
-                   help="metric scale: per-pair marker (1.0 fallback) or hold-last-live")
+    p.add_argument("--scale-mode", default="hold", choices=["marker", "hold"],
+                   help="metric scale: per-pair marker (1.0 fallback, the "
+                   "reference's behavior v3:318-326) or hold-last-live "
+                   "(default; identical while a live marker scale exists, "
+                   "forward-fills through marker gaps)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", default="none", choices=["none", "ba", "pose_graph"],
-                   help="trajectory refinement: windowed keyframe BA, or "
-                   "loop-closure pose graph (BASELINE configs #3/#4)")
+    p.add_argument("--backend", default="pose_graph",
+                   choices=["none", "ba", "pose_graph"],
+                   help="trajectory refinement: windowed keyframe BA, "
+                   "loop-closure pose graph (default — with --scale-mode hold "
+                   "it is the single config that beats the best reference "
+                   "variant on every PARITY.md scenario), or 'none' for the "
+                   "raw frame-to-frame chain (the reference's behavior)")
     p.add_argument("--checkpoint", default=None,
                    help="npz path for chunked checkpoint/resume of long runs")
     p.add_argument("--checkpoint-chunk", type=int, default=256)

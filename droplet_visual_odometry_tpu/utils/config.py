@@ -28,11 +28,18 @@ class ExperimentConfig:
     real_marker_length: float = 0.2  # metres (dual_process argv 5)
     calibration: str = ""  # camera yaml ('' -> sequence-embedded intrinsics)
     controlled: bool = False  # calibration schema switch (v3:145-167)
-    backend: str = "none"  # 'none' | 'ba' | 'pose_graph'
+    # 'none' (reference behavior) | 'ba' | 'pose_graph' (default: together
+    # with scale_mode='hold' below it is the single config that beats the
+    # best reference variant on every PARITY.md scenario).
+    backend: str = "pose_graph"
     seed: int = 0
     checkpoint_path: str = ""  # '' disables checkpointing
     checkpoint_every: int = 0  # frames between checkpoints (0 = chunk only)
-    vo: VOConfig = VOConfig()
+    # Experiment-level default is scale_mode='hold' (identical to the
+    # reference-faithful 'marker' while a live marker scale exists; forward-
+    # fills through marker gaps instead of the reference's 1.0 fallback).
+    # The library-level VOConfig default stays 'marker' for reference parity.
+    vo: VOConfig = VOConfig(scale_mode="hold")
 
 
 def _to_dict(obj: Any) -> Any:

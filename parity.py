@@ -403,6 +403,14 @@ def run_scenario(name, seq, quick=False):
         ours += [
             ("ours ba", "ba", sm, "orb"),
             ("ours pose_graph", "pose_graph", sm, "orb"),
+            # ONE fixed config scored on EVERY scenario (r4 verdict weak #7:
+            # per-scenario best-ours proved capability, but a user runs one
+            # default). pose_graph + hold is the shipped CLI default:
+            # 'hold' == 'marker' whenever a live marker scale exists, and
+            # forward-fills through gaps; the pose graph only adds verified
+            # loop/bridge edges. Gated below: this row ALONE must beat the
+            # best reference variant in every scenario.
+            ("ours default (pose_graph+hold)", "pose_graph", "hold", "orb"),
         ]
         if name in ("clean", "corner_noise_1px"):
             # The reference's mode switch scored end-to-end (v3:93-107;
@@ -454,6 +462,13 @@ def format_md(results: dict) -> str:
             f"Best reference ATE {best_ref:.4f} m vs best ours {best_ours:.4f} m "
             f"-> **{verdict}**"
         )
+        default = rows.get("ours default (pose_graph+hold)")
+        if default is not None:
+            dv = "PASS" if default["ate_rmse_m"] <= best_ref else "FAIL"
+            lines.append(
+                f"Single shipped default (pose_graph+hold) ATE "
+                f"{default['ate_rmse_m']:.4f} m -> **{dv}**"
+            )
         lines.append("")
     return "\n".join(lines)
 
@@ -502,6 +517,16 @@ def main(argv=None) -> int:
         best_ours = min(v["ate_rmse_m"] for k, v in rows.items() if k.startswith("ours"))
         if best_ours > best_ref:
             print(f"PARITY FAIL: {name}: ours {best_ours} > reference {best_ref}", file=sys.stderr)
+            return 1
+        # The single shipped default must win on its own, not just some
+        # per-scenario tuned row (r4 verdict weak #7).
+        default = rows.get("ours default (pose_graph+hold)")
+        if default is not None and default["ate_rmse_m"] > best_ref:
+            print(
+                f"PARITY FAIL: {name}: default config {default['ate_rmse_m']} "
+                f"> reference {best_ref}",
+                file=sys.stderr,
+            )
             return 1
     return 0
 
