@@ -138,7 +138,13 @@ class PoseGraphRefineConfig:
     kf: keyframes.KeyframeConfig = keyframes.KeyframeConfig()
     lc: loop_closure.LoopClosureConfig = loop_closure.LoopClosureConfig()
     pg: pose_graph.PoseGraphConfig = pose_graph.PoseGraphConfig(iters=15)
-    n_keypoints: int = 512
+    # Keyframe features for retrieval/verification run at 2x the sequential
+    # pipeline's keypoint budget: loop/bridge candidates are wide-baseline
+    # pairs where match count is the binding constraint (measured on the
+    # 640x480 marker-gap bridge: k=512 leaves the verified edge's restart
+    # dispersion at 1.6 deg rot / 10.6 deg dir, k=1024 collapses it to
+    # 0.01 / 0.07 deg). Off the hot path — keyframes only.
+    n_keypoints: int = 1024
     fast_threshold: float = 20.0
     # Confidence weighting: a sequential edge whose underlying frame pairs
     # all had LIVE marker scale is trusted; held-scale spans carry the
@@ -154,14 +160,17 @@ class PoseGraphRefineConfig:
     loop_rot_weight_scale_free: float = 1.0
     loop_dir_weight_scale_free: float = 0.5
     # Restart-dispersion information discount (LoopEdges.rot_disp_deg /
-    # dir_disp_deg): each edge's rotation / translation information block is
-    # multiplied by 1 / (1 + (disp/disp0)^2). disp0 is the dispersion at
-    # which the block loses half its weight — converged restarts (<1 deg; a
-    # genuine revisit) keep ~full weight, while a degenerate wide-baseline
-    # pair (several deg rot, tens of deg dir scatter) decays quadratically:
-    # it stays IN the graph as a weak hint but cannot drag well-tracked
-    # chain spans (measured: a 11-deg-rot-error bridge edge at 448x336 made
-    # pose_graph ATE 63% WORSE than raw chaining before this gate).
+    # dir_disp_deg, measured among near-winner restarts): each edge's
+    # rotation / translation information block is multiplied by
+    # 1 / (1 + (disp/disp0)^2). disp0 is the dispersion at which the block
+    # loses half its weight. A converged winning mode keeps ~full weight
+    # (the 640x480 marker-gap bridge's gated restarts agree to 0.01 deg and
+    # its full-weight metric pull is what beats the reference there,
+    # PARITY.md marker_gap); a pair whose best restarts disagree decays
+    # quadratically — it stays in the graph as a weak hint but cannot drag
+    # well-tracked chain spans (measured: an 11-deg-rot-error bridge edge
+    # at 448x336, gated directions ~98 deg apart, made pose_graph ATE 63%
+    # worse than raw chaining ungated).
     edge_rot_disp_deg0: float = 2.0
     edge_dir_disp_deg0: float = 5.0
 
