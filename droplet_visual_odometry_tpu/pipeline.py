@@ -199,6 +199,8 @@ def run_experiment(
             np.asarray(traj.n_inliers),
             K,
             refine_cfg or RefineConfig(),
+            marker_corners=corners,
+            real_marker_length=seq.real_marker_length,
         )
     elif backend == "pose_graph":
         from droplet_visual_odometry_tpu.backend.refine import (
