@@ -147,10 +147,12 @@ class TestMarkerGapBridge:
         """The keyframes flanking a marker-absent run get a direct verified
         metric edge (the reference's valid-stream pairing, get_valid_message_
         stream.py:21-37). At this small test resolution the bridge measurement
-        is only chain-grade, so the assertion here is the MECHANISM (pair
-        injected, verified under the bridge gate, optimised, no regression);
-        the accuracy win is asserted at production resolution by the parity
-        suite (parity.py marker_gap: 0.235 -> 0.148 ATE)."""
+        is only chain-grade — its restarts scatter, so the dispersion gate
+        (backend/refine.py) discounts it to a weak hint. The assertions here
+        are the MECHANISM (pair injected, verified under the bridge gate,
+        optimised, gated, no regression); the accuracy win is asserted at
+        production resolution by the parity suite (PARITY.md marker_gap:
+        ours default 0.066 vs best reference 0.238, 3-seed means)."""
         res_none = pipeline.run_experiment(gap_seq, vo_cfg, backend="none")
         res_pg = pipeline.run_experiment(gap_seq, vo_cfg, backend="pose_graph")
         info = res_pg.backend_info
